@@ -1,0 +1,133 @@
+"""The frame pipeline: radiance → irradiance → [visibility → scattering] →
+screen, with probe-atlas feedback across frames.
+
+TPU-native counterpart of ``Madarch.Renderers.Render``
+(/root/reference/madarch/madarch-renderers.adb:302-321).  Each GL render pass
+becomes a jitted function producing an array; the textures become fields of
+``FrameState`` threaded functionally through ``render_frame`` — the radiance
+pass reads the *previous* frame's irradiance atlas (the GI feedback that
+accumulates light bounces over frames), the irradiance pass integrates the
+new radiance, and the screen pass consumes everything.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from madarch_tpu.core.config import (NO_VOLUMETRICS, PROBE_SHADE_CONFIG,
+                                     ProbeSettings, ShadeConfig,
+                                     VolumetricsSettings,
+                                     screen_shade_config)
+from madarch_tpu.render import probes as probes_mod
+from madarch_tpu.render import volumetrics as vol_mod
+from madarch_tpu.render.camera import camera_rays, pixel_grid
+from madarch_tpu.render.shading import make_sdf_b, pixel_color
+from madarch_tpu.scene.scene import SceneData, SceneSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameState:
+    """Per-frame feedback textures (the reference's framebuffer textures)."""
+
+    radiance: jnp.ndarray     # f32[py·rr, px·rr, 3]
+    irradiance: jnp.ndarray   # f32[py·ir, px·ir, 3]
+    scattering: jnp.ndarray   # f32[sy, sx, 4]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Camera:
+    position: jnp.ndarray     # f32[3]
+    orientation: jnp.ndarray  # f32[3,3]
+
+
+def initial_state(probes: ProbeSettings,
+                  vol: VolumetricsSettings) -> FrameState:
+    sy, sx = (vol.scattering_resolution[1], vol.scattering_resolution[0]) \
+        if vol.enabled else (1, 1)
+    return FrameState(
+        radiance=jnp.zeros(probes.radiance_atlas_shape, jnp.float32),
+        irradiance=jnp.zeros(probes.irradiance_atlas_shape, jnp.float32),
+        scattering=jnp.zeros((sy, sx, 4), jnp.float32),
+    )
+
+
+def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
+                  cfg: ShadeConfig, irr_atlas, rad_atlas):
+    """Trace every probe's octahedral ray set and shade it
+    (compute_probe_radiance.glsl:14-27): one batch of
+    num_probes·radiance_resolution² rays."""
+    rr = probes.radiance_resolution
+    p_world = probes_mod.probe_world_positions(probes)       # [P,3]
+    dirs = probes_mod.texel_directions(rr)                   # [rr²,3]
+    n_probes = probes.num_probes
+
+    origins = jnp.repeat(p_world, rr * rr, axis=0)           # [P·rr²,3]
+    ray_dirs = jnp.tile(dirs, (n_probes, 1))
+
+    color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas, rad_atlas,
+                              origins, ray_dirs)
+    tiles = color.reshape(n_probes, rr * rr, 3)
+    px, py = probes.probe_count
+    if px * py != n_probes:
+        pad = jnp.zeros((px * py - n_probes, rr * rr, 3), jnp.float32)
+        tiles = jnp.concatenate([tiles, pad], axis=0)
+    return probes_mod.tiles_to_atlas(probes, tiles, rr)
+
+
+def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
+                vol: VolumetricsSettings, cfg: ShadeConfig, width: int,
+                height: int, camera: Camera, irr_atlas, rad_atlas,
+                scattering):
+    """Primary rays -> shade -> volumetric composite -> Reinhard tonemap +
+    gamma (draw_screen.glsl:20-29).  Returns f32[H, W, 3], row 0 = bottom."""
+    frag = pixel_grid(width, height)                        # [H,W,2]
+    origins, dirs = camera_rays(frag, camera.position, camera.orientation)
+    origins_f = origins.reshape(-1, 3)
+    dirs_f = dirs.reshape(-1, 3)
+
+    color, hit, hit_pos = pixel_color(spec, data, probes, cfg, irr_atlas,
+                                      rad_atlas, origins_f, dirs_f)
+    if cfg.render_volumetrics:
+        ray_len = jnp.linalg.norm(hit_pos - origins_f, axis=-1)
+        color = vol_mod.composite(vol, scattering, color, ray_len,
+                                  frag.reshape(-1, 2), spec.max_dist)
+
+    color = jnp.maximum(color, 0.0)
+    color = (color / (color + 1.0)) ** 0.4545
+    return color.reshape(height, width, 3)
+
+
+@partial(jax.jit, static_argnames=("spec", "probes", "vol", "width", "height",
+                                   "screen_cfg", "probe_cfg"))
+def render_frame(spec: SceneSpec, probes: ProbeSettings,
+                 vol: VolumetricsSettings, width: int, height: int,
+                 data: SceneData, camera: Camera, state: FrameState,
+                 screen_cfg: ShadeConfig = None,
+                 probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG):
+    """One full frame; returns (image f32[H,W,3], new FrameState)."""
+    if screen_cfg is None:
+        screen_cfg = screen_shade_config(vol.enabled)
+
+    radiance = radiance_pass(spec, data, probes, probe_cfg,
+                             state.irradiance, state.radiance)
+    irradiance = probes_mod.integrate_irradiance(probes, radiance)
+
+    scattering = state.scattering
+    if vol.enabled:
+        sdf_b = make_sdf_b(spec, data, stop_grad=True)
+        visibility = vol_mod.visibility_pass(
+            spec, data, vol, sdf_b, camera.position, camera.orientation,
+            max_steps=screen_cfg.max_march_steps)
+        scattering = vol_mod.scattering_pass(
+            spec, data, vol, sdf_b, visibility, camera.position,
+            camera.orientation, max_steps=screen_cfg.max_march_steps)
+
+    image = screen_pass(spec, data, probes, vol, screen_cfg, width, height,
+                        camera, irradiance, radiance, scattering)
+    return image, FrameState(radiance=radiance, irradiance=irradiance,
+                             scattering=scattering)

@@ -1,0 +1,176 @@
+"""Per-ray shading: the reference's ``pixel_color_probes``
+(/root/reference/madarch/glsl/render_probes.glsl:246-292) over ray batches.
+
+Primary raycast -> primitive info -> direct PBR lighting + probe-sampled
+indirect (diffuse always; specular per ShadeConfig mode) × ambient occlusion,
+sky gradient on miss.  The volumetric composite is applied by the caller
+(screen pass) since it needs the scattering texture.
+
+All marches run on stop-gradient scene data; gradients re-enter through the
+implicit-function-theorem hit reattachment and through the differentiable
+shading computation, making the whole shade differentiable w.r.t. primitive,
+material, light, and camera parameters.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from madarch_tpu.core.config import ProbeSettings, ShadeConfig
+from madarch_tpu.core.vecmath import dot, reflect, vec3
+from madarch_tpu.render import probes as probes_mod
+from madarch_tpu.render.lighting import direct_lighting, indirect_lighting
+from madarch_tpu.render.raymarch import (SURFACE_OFFSET, ambient_occlusion,
+                                         attach_hit_gradient, raycast,
+                                         raycast_visibility, scene_normal)
+from madarch_tpu.scene.scene import (SceneData, SceneSpec, material_lookup,
+                                     primitive_info, scene_sdf,
+                                     scene_sdf_info)
+
+
+def make_sdf_b(spec: SceneSpec, data: SceneData, *, stop_grad: bool):
+    """Batched scene SDF closure f32[N,3] -> f32[N]."""
+    d = jax.tree.map(lax.stop_gradient, data) if stop_grad else data
+    return jax.vmap(lambda p: scene_sdf(spec, d, p))
+
+
+def sky_color(dirs):
+    """Sky gradient on miss (render_probes.glsl:289)."""
+    base = vec3(0.30, 0.36, 0.60)
+    return base - 0.7 * dirs[..., 1:2]
+
+
+def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
+               irr_atlas, rad_atlas, pos, normal, dirs, hit):
+    """Direct + indirect (+ specular) × AO for hit points; f32[N,3]."""
+    _, prim_index = jax.vmap(
+        lambda p: scene_sdf_info(spec, jax.tree.map(lax.stop_gradient, data),
+                                 p))(pos)
+    _, material_id = jax.vmap(
+        lambda i, p: primitive_info(spec, data, i, p))(prim_index, pos)
+    albedo, metallic, roughness = material_lookup(data, material_id)
+
+    direct = direct_lighting(
+        spec, data, sdf_b, pos, normal, dirs, albedo, metallic, roughness,
+        compute_specular=cfg.direct_specular, enabled=hit,
+        max_steps=cfg.max_march_steps)
+
+    irradiance = probes_mod.sample_irradiance(
+        probe_settings, sdf_b, irr_atlas, pos, normal, enabled=hit,
+        max_steps=cfg.max_march_steps)
+
+    specular_dir = reflect(dirs, normal)
+    specular_col = jnp.zeros_like(pos)
+    if cfg.indirect_specular_mode == 2:
+        spec_enabled = hit & (roughness < 0.75)
+        specular_col = sample_radiance_no_specular(
+            spec, data, probe_settings, cfg, sdf_b, rad_atlas,
+            pos, normal, specular_dir, enabled=spec_enabled)
+        specular_col = jnp.where(spec_enabled[..., None], specular_col, 0.0)
+
+    indirect = indirect_lighting(
+        irradiance, specular_col, -dirs, normal, specular_dir,
+        albedo, metallic, roughness)
+
+    ao = ambient_occlusion(sdf_b, pos, normal,
+                           steps=cfg.ambient_occlusion_steps)
+    return ao[..., None] * (direct + indirect)
+
+
+def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
+                                rad_atlas, pos, normal, spec_dir, *, enabled):
+    """Indirect specular mode 2 (render_probes.glsl:138-209): reflect-ray
+    raycast, best-probe pick by backface+visibility weight, radiance lookup
+    at mip 1, plus the direct specular highlight at the reflection point when
+    add_indirect_specular (M_ADD_INDIRECT_SPECULAR) is set."""
+    n_pts = pos.shape[0]
+    settings = probe_settings
+    spacing = jnp.asarray(settings.grid_spacing, jnp.float32)
+    dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
+
+    from_ = pos + normal * SURFACE_OFFSET
+    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
+                               enabled=enabled,
+                               max_steps=cfg.max_march_steps)
+
+    data_sg = jax.tree.map(lax.stop_gradient, data)
+    _, prim_index = jax.vmap(
+        lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
+    spec_normal_v, spec_mid = jax.vmap(
+        lambda i, p: primitive_info(spec, data, i, p))(prim_index, spec_pos)
+
+    grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
+    offsets = jnp.asarray(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+        jnp.int32)
+    offseted = jnp.clip(grid_pos[None] + offsets[:, None], 0, dims - 1)
+    probe_world = offseted.astype(jnp.float32) * spacing      # [8,N,3]
+    probe_to_spec = spec_pos[None] - probe_world
+    p_dist = jnp.maximum(jnp.linalg.norm(probe_to_spec, axis=-1), 1e-6)
+    probe_to_spec = probe_to_spec / p_dist[..., None]
+
+    weight = dot(probe_to_spec, -spec_normal_v[None])          # [8,N]
+    vis_enabled = jnp.broadcast_to((enabled & hit)[None], (8, n_pts))
+    vis = raycast_visibility(
+        sdf_b,
+        jnp.broadcast_to(spec_pos[None] + spec_normal_v[None] * SURFACE_OFFSET,
+                         (8, n_pts, 3)).reshape(-1, 3),
+        (-probe_to_spec).reshape(-1, 3),
+        (p_dist - SURFACE_OFFSET).reshape(-1),
+        enabled=vis_enabled.reshape(-1),
+        max_steps=cfg.max_march_steps).reshape(8, n_pts)
+    weight = weight * vis
+
+    best = jnp.argmax(weight, axis=0)                          # [N]
+    idx = (best, jnp.arange(n_pts))
+    best_offseted = offseted[best, jnp.arange(n_pts)]          # [N,3]
+    best_dir = probe_to_spec[idx]                              # [N,3]
+
+    pid = probes_mod.grid_position_to_probe_id(settings, best_offseted)
+    tx, ty = probes_mod.probe_id_to_tile(settings, pid)
+    rad_ray_id = probes_mod.dir_to_ray_id(best_dir)
+    mip1 = probes_mod.radiance_mip1(settings, rad_atlas)
+    radiance = probes_mod.sample_tile_bilinear(
+        mip1, tx, ty, rad_ray_id, settings.radiance_resolution // 2)
+
+    if cfg.add_indirect_specular:
+        _, spec_metallic, spec_roughness = material_lookup(data, spec_mid)
+        highlight = direct_lighting(
+            spec, data, sdf_b, spec_pos, spec_normal_v, spec_dir,
+            jnp.zeros((n_pts, 3), jnp.float32), spec_metallic,
+            spec_roughness, compute_specular=cfg.direct_specular,
+            enabled=enabled & hit, max_steps=cfg.max_march_steps)
+        radiance = radiance + highlight
+
+    return jnp.where(hit[..., None], radiance, 0.0)
+
+
+def pixel_color(spec: SceneSpec, data: SceneData,
+                probe_settings: ProbeSettings, cfg: ShadeConfig,
+                irr_atlas, rad_atlas, origins, dirs):
+    """pixel_color_probes minus the volumetric composite: shade a ray batch.
+
+    Returns (color f32[N,3], hit bool[N], hit_pos f32[N,3]).  hit_pos on a
+    miss is the max_dist point along the ray (used by the fog composite; the
+    reference leaves it undefined there — GLSL UB we replace with the
+    sensible choice).
+    """
+    sdf_b = make_sdf_b(spec, data, stop_grad=True)
+    sdf_b_diff = make_sdf_b(spec, data, stop_grad=False)
+
+    t, hit, _ = raycast(sdf_b, origins, dirs, spec.max_dist,
+                        max_steps=cfg.max_march_steps)
+    t = attach_hit_gradient(sdf_b_diff, origins, dirs, t)
+    pos = origins + t[:, None] * dirs
+
+    normal = scene_normal(sdf_b_diff, pos)
+
+    lit = shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
+                     irr_atlas, rad_atlas, pos, normal, dirs, hit)
+    sky = sky_color(dirs)
+    color = jnp.where(hit[..., None], lit, sky)
+
+    miss_pos = origins + spec.max_dist * dirs
+    hit_pos = jnp.where(hit[..., None], pos, miss_pos)
+    return color, hit, hit_pos

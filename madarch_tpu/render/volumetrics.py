@@ -1,0 +1,143 @@
+"""Volumetric lighting (light shafts): froxel visibility grid, scattering
+integration, depth-aware composite.
+
+TPU-native counterpart of /root/reference/madarch/glsl/
+compute_frustrum_visibility.glsl, accumulate_scattering.glsl, and
+volumetrics.glsl.  The froxel grid is a f32[vz, vy, vx, 3] array (the
+reference packs z-slices vertically into one 2D texture); the scattering map
+is f32[sy, sx, 4] storing (in-scattered L, ray length).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from madarch_tpu.core.config import VolumetricsSettings
+from madarch_tpu.core.vecmath import PI, dot
+from madarch_tpu.render.camera import camera_rays, pixel_grid
+from madarch_tpu.render.raymarch import raycast, raycast_visibility
+
+TAU_SCATTERING = 0.1  # volumetrics.glsl:12
+
+
+def henyey_greenstein_phase(in_dir, out_dir):
+    """volumetrics.glsl:20-31 (g = tau_scattering, as the reference does)."""
+    cos_angle = dot(in_dir, out_dir)
+    g2 = TAU_SCATTERING * TAU_SCATTERING
+    return (1.0 - g2) / (4.0 * PI * (1.0 + g2 - 2.0 * TAU_SCATTERING
+                                     * cos_angle) ** 1.5)
+
+
+def rayleigh_phase(in_dir, out_dir):
+    cos_angle = dot(in_dir, out_dir)
+    return 3.0 * (1.0 + cos_angle * cos_angle) / (16.0 * PI)
+
+
+def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
+                    camera_position, camera_orientation, *, max_steps=300):
+    """In-scattered light per froxel (compute_frustrum_visibility.glsl:8-41).
+
+    Froxel (z, y, x) samples the camera ray through pixel (x, y) at ray
+    distance z·step: single-scatter Σ_lights exp(−d·τ)·vis·radiance·HG.
+    Returns f32[vz, vy, vx, 3].
+    """
+    vx, vy, vz = vol.visibility_resolution
+    frag = pixel_grid(vx, vy)                                   # [vy,vx,2]
+    origins, dirs = camera_rays(frag, camera_position, camera_orientation)
+    depths = jnp.arange(vz, dtype=jnp.float32) * vol.visibility_step_size
+    # sample point of each froxel: [vz, vy, vx, 3]
+    pts = origins[None] + dirs[None] * depths[:, None, None, None]
+    pts_f = pts.reshape(-1, 3)
+    dirs_f = jnp.broadcast_to(dirs[None], (vz, vy, vx, 3)).reshape(-1, 3)
+
+    result = jnp.zeros_like(pts_f)
+    dummy_normal = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32), pts_f.shape)
+    for ltype, cap in spec.lights:
+        count = data.light_counts[ltype.name]
+        for slot in range(cap):
+            live = slot < count
+            params = jax.tree.map(lambda a: a[slot],
+                                  data.lights[ltype.name])
+            radiance, ldir, ldist = ltype.sample(params, pts_f, dummy_normal)
+            n_r = pts_f.shape[0]
+            vis = raycast_visibility(sdf_b, pts_f, ldir, ldist,
+                                     enabled=jnp.broadcast_to(live, (n_r,)),
+                                     max_steps=max_steps)
+            l_in = (jnp.exp(-ldist * TAU_SCATTERING) * vis)[..., None] \
+                * radiance
+            contrib = l_in * TAU_SCATTERING \
+                * henyey_greenstein_phase(ldir, dirs_f)[..., None]
+            result = result + jnp.where(live, contrib, 0.0)
+    return result.reshape(vz, vy, vx, 3)
+
+
+def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
+                    camera_position, camera_orientation, *, max_steps=300):
+    """Per-pixel in-scatter integral along the view ray
+    (accumulate_scattering.glsl:17-31).  Returns f32[sy, sx, 4] = (L, len).
+    """
+    sx, sy = vol.scattering_resolution
+    vx, vy, vz = vol.visibility_resolution
+    frag = pixel_grid(sx, sy)                                   # [sy,sx,2]
+    origins, dirs = camera_rays(frag, camera_position, camera_orientation)
+    origins_f = origins.reshape(-1, 3)
+    dirs_f = dirs.reshape(-1, 3)
+    n = origins_f.shape[0]
+
+    max_depth = vol.max_depth
+    t, hit, _ = raycast(sdf_b, origins_f, dirs_f, max_depth,
+                        max_steps=max_steps)
+    length = jnp.minimum(jnp.where(hit, t, max_depth), max_depth)  # [n]
+
+    # visibility texture lookup: pixel (x,y) of the scattering grid reads
+    # froxel column (x·vx/sx, y·vy/sy) — the reference's normalized texture
+    # coords resolve to nearest froxel texel here.
+    iy, ix = jnp.meshgrid(jnp.arange(sy), jnp.arange(sx), indexing="ij")
+    fx = jnp.clip((ix.reshape(-1) * vx) // sx, 0, vx - 1)
+    fy = jnp.clip((iy.reshape(-1) * vy) // sy, 0, vy - 1)
+
+    n_steps = int(max_depth / vol.scattering_step_size)
+
+    def body(i, acc):
+        f = i.astype(jnp.float32) * vol.scattering_step_size
+        slice_idx = jnp.clip(
+            (f / vol.visibility_step_size).astype(jnp.int32), 0, vz - 1)
+        r = visibility[slice_idx, fy, fx]                       # [n,3]
+        w = jnp.where(f < length, jnp.exp(-f * TAU_SCATTERING), 0.0)
+        return acc + r * w[..., None]
+
+    l_acc = lax.fori_loop(0, n_steps, body, jnp.zeros((n, 3), jnp.float32))
+    l_acc = l_acc * vol.scattering_step_size
+    out = jnp.concatenate([l_acc, length[..., None]], axis=-1)
+    return out.reshape(sy, sx, 4)
+
+
+def composite(vol: VolumetricsSettings, scattering, color, ray_len, frag_xy,
+              max_dist):
+    """Depth-aware fog composite (volumetrics.glsl:34-54): 3×3 neighborhood
+    search keyed on |stored_len − pixel_len|, then
+    L·exp(−len·τ) + fog_L.
+
+    color/ray_len/frag_xy are flat batches [N,3]/[N]/[N,2].
+    """
+    sx, sy = vol.scattering_resolution
+    tex = (frag_xy + 1.0) * 0.5                                 # [N,2]
+    px = tex[..., 0] * sx - 0.5
+    py = tex[..., 1] * sy - 0.5
+    ix = jnp.round(px).astype(jnp.int32)
+    iy = jnp.round(py).astype(jnp.int32)
+
+    closest = jnp.full(ray_len.shape, max_dist, jnp.float32)
+    fog = jnp.zeros_like(color)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            sx_i = jnp.clip(ix + dx, 0, sx - 1)
+            sy_i = jnp.clip(iy + dy, 0, sy - 1)
+            datum = scattering[sy_i, sx_i]                      # [N,4]
+            dist = jnp.abs(datum[..., 3] - ray_len)
+            better = dist < closest
+            fog = jnp.where(better[..., None], datum[..., :3], fog)
+            closest = jnp.minimum(closest, dist)
+    return color * jnp.exp(-ray_len * TAU_SCATTERING)[..., None] + fog
