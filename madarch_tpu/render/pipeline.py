@@ -57,7 +57,7 @@ def initial_state(probes: ProbeSettings,
 
 
 def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
-                  cfg: ShadeConfig, irr_atlas, rad_atlas):
+                  cfg: ShadeConfig, irr_atlas, rad_atlas, shard=None):
     """Trace every probe's octahedral ray set and shade it
     (compute_probe_radiance.glsl:14-27): one batch of
     num_probes·radiance_resolution² rays."""
@@ -68,6 +68,9 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
 
     origins = jnp.repeat(p_world, rr * rr, axis=0)           # [P·rr²,3]
     ray_dirs = jnp.tile(dirs, (n_probes, 1))
+    if shard is not None:
+        origins = shard(origins)
+        ray_dirs = shard(ray_dirs)
 
     color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas, rad_atlas,
                               origins, ray_dirs)
@@ -82,13 +85,16 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
 def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
                 vol: VolumetricsSettings, cfg: ShadeConfig, width: int,
                 height: int, camera: Camera, irr_atlas, rad_atlas,
-                scattering):
+                scattering, shard=None):
     """Primary rays -> shade -> volumetric composite -> Reinhard tonemap +
     gamma (draw_screen.glsl:20-29).  Returns f32[H, W, 3], row 0 = bottom."""
     frag = pixel_grid(width, height)                        # [H,W,2]
     origins, dirs = camera_rays(frag, camera.position, camera.orientation)
     origins_f = origins.reshape(-1, 3)
     dirs_f = dirs.reshape(-1, 3)
+    if shard is not None:
+        origins_f = shard(origins_f)
+        dirs_f = shard(dirs_f)
 
     color, hit, hit_pos = pixel_color(spec, data, probes, cfg, irr_atlas,
                                       rad_atlas, origins_f, dirs_f)
@@ -102,19 +108,23 @@ def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
     return color.reshape(height, width, 3)
 
 
-@partial(jax.jit, static_argnames=("spec", "probes", "vol", "width", "height",
-                                   "screen_cfg", "probe_cfg"))
-def render_frame(spec: SceneSpec, probes: ProbeSettings,
-                 vol: VolumetricsSettings, width: int, height: int,
-                 data: SceneData, camera: Camera, state: FrameState,
-                 screen_cfg: ShadeConfig = None,
-                 probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG):
-    """One full frame; returns (image f32[H,W,3], new FrameState)."""
+def render_frame_impl(spec: SceneSpec, probes: ProbeSettings,
+                      vol: VolumetricsSettings, width: int, height: int,
+                      data: SceneData, camera: Camera, state: FrameState,
+                      screen_cfg: ShadeConfig = None,
+                      probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG,
+                      shard=None):
+    """One full frame; returns (image f32[H,W,3], new FrameState).
+
+    ``shard`` is an optional callable applied to the flat ray batches (a
+    ``with_sharding_constraint`` closure) so SPMD callers can split rays
+    across a device mesh while scene data and probe atlases stay replicated.
+    """
     if screen_cfg is None:
         screen_cfg = screen_shade_config(vol.enabled)
 
     radiance = radiance_pass(spec, data, probes, probe_cfg,
-                             state.irradiance, state.radiance)
+                             state.irradiance, state.radiance, shard=shard)
     irradiance = probes_mod.integrate_irradiance(probes, radiance)
 
     scattering = state.scattering
@@ -128,6 +138,12 @@ def render_frame(spec: SceneSpec, probes: ProbeSettings,
             camera.orientation, max_steps=screen_cfg.max_march_steps)
 
     image = screen_pass(spec, data, probes, vol, screen_cfg, width, height,
-                        camera, irradiance, radiance, scattering)
+                        camera, irradiance, radiance, scattering,
+                        shard=shard)
     return image, FrameState(radiance=radiance, irradiance=irradiance,
                              scattering=scattering)
+
+
+render_frame = partial(jax.jit, static_argnames=(
+    "spec", "probes", "vol", "width", "height", "screen_cfg",
+    "probe_cfg"))(render_frame_impl)

@@ -51,6 +51,10 @@ def raycast(sdf_b, origins, dirs, max_dist, *, eps=EPSILON,
 
     Returns (t: f32[N] march distance, hit: bool[N], pos: f32[N,3]).
     """
+    # Marches are non-differentiable estimators (lax.while_loop has no
+    # reverse rule); gradients re-enter through attach_hit_gradient.
+    origins = lax.stop_gradient(origins)
+    dirs = lax.stop_gradient(dirs)
     n = origins.shape[0]
     t0 = jnp.zeros((n,), jnp.float32)
     active0 = jnp.ones((n,), bool) if enabled is None else enabled
@@ -81,6 +85,9 @@ def raycast_visibility(sdf_b, origins, dirs, max_dists, *, eps=EPSILON,
                        max_steps=MAX_STEPS, enabled=None):
     """1.0 if the ray reaches max_dist unobstructed, else 0.0
     (raymarching.glsl:39-56).  max_dists is per-ray f32[N]."""
+    origins = lax.stop_gradient(origins)
+    dirs = lax.stop_gradient(dirs)
+    max_dists = lax.stop_gradient(max_dists)
     n = origins.shape[0]
     t0 = jnp.zeros((n,), jnp.float32)
     active0 = jnp.ones((n,), bool) if enabled is None else enabled
@@ -114,6 +121,10 @@ def softshadows(sdf_b, origins, dirs, min_dists, max_dists, k, *,
     shadow = min(shadow, k·sqrt(d²−y²)/max(0, t−y)).  Returns f32[N] in
     [0, 1]; 0 where the shadow ray hits geometry.
     """
+    origins = lax.stop_gradient(origins)
+    dirs = lax.stop_gradient(dirs)
+    min_dists = lax.stop_gradient(min_dists)
+    max_dists = lax.stop_gradient(max_dists)
     n = origins.shape[0]
     t0 = jnp.asarray(jnp.broadcast_to(min_dists, (n,)), jnp.float32)
     res0 = jnp.ones((n,), jnp.float32)
