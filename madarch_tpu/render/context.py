@@ -1,0 +1,48 @@
+"""SceneCtx: one object bundling everything the marches need.
+
+Carries both the generic batched-SDF closure (works for any primitive type,
+differentiable) and the packed planar-scene representation consumed by the
+fused Pallas kernels.  March entry points accept either a bare callable
+(generic path) or a SceneCtx (kernel fast path when available).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+from jax import lax
+
+from madarch_tpu.ops import march as march_ops
+from madarch_tpu.scene.scene import SceneData, SceneSpec, scene_sdf
+
+def _kernels_enabled() -> bool:
+    """Kernels run on TPU by default; CPU uses the XLA fallback (interpret
+    mode is for parity tests only, via MADARCH_FORCE_PALLAS=1)."""
+    if os.environ.get("MADARCH_NO_PALLAS", "") == "1":
+        return False
+    if os.environ.get("MADARCH_FORCE_PALLAS", "") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+class SceneCtx:
+    def __init__(self, spec: SceneSpec, data: SceneData):
+        self.spec = spec
+        data_sg = jax.tree.map(lax.stop_gradient, data)
+        self.data = data
+        self.sdf_b = jax.vmap(lambda p: scene_sdf(spec, data_sg, p))
+        self.sdf_b_diff = jax.vmap(lambda p: scene_sdf(spec, data, p))
+        self.max_dist = spec.max_dist
+
+        self.plan = march_ops.build_plan(spec) if _kernels_enabled() else None
+        if self.plan is not None and self.plan.total_capacity <= 128:
+            self.params_vec, self.counts = march_ops.pack_params(
+                self.plan, data_sg)
+        else:
+            # very large unrolled scenes need the partitioned kernel; fall
+            # back to the XLA path until then
+            self.plan = None
+
+    @property
+    def use_kernel(self) -> bool:
+        return self.plan is not None

@@ -129,7 +129,8 @@ def render_frame_impl(spec: SceneSpec, probes: ProbeSettings,
 
     scattering = state.scattering
     if vol.enabled:
-        sdf_b = make_sdf_b(spec, data, stop_grad=True)
+        from madarch_tpu.render.context import SceneCtx
+        sdf_b = SceneCtx(spec, data)
         visibility = vol_mod.visibility_pass(
             spec, data, vol, sdf_b, camera.position, camera.orientation,
             max_steps=screen_cfg.max_march_steps)

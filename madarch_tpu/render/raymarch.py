@@ -37,7 +37,16 @@ def _stop_grad_tree(x):
     return jax.tree.map(lax.stop_gradient, x)
 
 
-def raycast(sdf_b, origins, dirs, max_dist, *, eps=EPSILON,
+def _as_closure(sdf):
+    """March entry points take either a batched-SDF callable or a SceneCtx
+    (render/context.py); return (closure, ctx-or-None)."""
+    if callable(sdf):
+        return sdf, None
+    ctx = sdf
+    return ctx.sdf_b, (ctx if ctx.use_kernel else None)
+
+
+def raycast(sdf, origins, dirs, max_dist, *, eps=EPSILON,
             max_steps=MAX_STEPS, enabled=None):
     """Sphere-trace a batch of rays (raymarching.glsl:25-51).
 
@@ -55,6 +64,12 @@ def raycast(sdf_b, origins, dirs, max_dist, *, eps=EPSILON,
     # reverse rule); gradients re-enter through attach_hit_gradient.
     origins = lax.stop_gradient(origins)
     dirs = lax.stop_gradient(dirs)
+    sdf_b, ctx = _as_closure(sdf)
+    if ctx is not None:
+        from madarch_tpu.ops.march import pallas_raycast
+        return pallas_raycast(ctx.plan, ctx.params_vec, ctx.counts, origins,
+                              dirs, max_dist, eps=eps, max_steps=max_steps,
+                              enabled=enabled)
     n = origins.shape[0]
     t0 = jnp.zeros((n,), jnp.float32)
     active0 = jnp.ones((n,), bool) if enabled is None else enabled
@@ -81,13 +96,19 @@ def raycast(sdf_b, origins, dirs, max_dist, *, eps=EPSILON,
     return t, hit, pos
 
 
-def raycast_visibility(sdf_b, origins, dirs, max_dists, *, eps=EPSILON,
+def raycast_visibility(sdf, origins, dirs, max_dists, *, eps=EPSILON,
                        max_steps=MAX_STEPS, enabled=None):
     """1.0 if the ray reaches max_dist unobstructed, else 0.0
     (raymarching.glsl:39-56).  max_dists is per-ray f32[N]."""
     origins = lax.stop_gradient(origins)
     dirs = lax.stop_gradient(dirs)
     max_dists = lax.stop_gradient(max_dists)
+    sdf_b, ctx = _as_closure(sdf)
+    if ctx is not None:
+        from madarch_tpu.ops.march import pallas_visibility
+        return pallas_visibility(ctx.plan, ctx.params_vec, ctx.counts,
+                                 origins, dirs, max_dists, eps=eps,
+                                 max_steps=max_steps, enabled=enabled)
     n = origins.shape[0]
     t0 = jnp.zeros((n,), jnp.float32)
     active0 = jnp.ones((n,), bool) if enabled is None else enabled
@@ -113,7 +134,7 @@ def raycast_visibility(sdf_b, origins, dirs, max_dists, *, eps=EPSILON,
     return jnp.where(blocked, 0.0, 1.0)
 
 
-def softshadows(sdf_b, origins, dirs, min_dists, max_dists, k, *,
+def softshadows(sdf, origins, dirs, min_dists, max_dists, k, *,
                 eps=EPSILON, max_steps=MAX_STEPS, enabled=None):
     """Cone-approximation penumbra march (raymarching.glsl:4-23).
 
@@ -125,6 +146,13 @@ def softshadows(sdf_b, origins, dirs, min_dists, max_dists, k, *,
     dirs = lax.stop_gradient(dirs)
     min_dists = lax.stop_gradient(min_dists)
     max_dists = lax.stop_gradient(max_dists)
+    sdf_b, ctx = _as_closure(sdf)
+    if ctx is not None:
+        from madarch_tpu.ops.march import pallas_softshadows
+        return pallas_softshadows(ctx.plan, ctx.params_vec, ctx.counts,
+                                  origins, dirs, min_dists, max_dists, k,
+                                  eps=eps, max_steps=max_steps,
+                                  enabled=enabled)
     n = origins.shape[0]
     t0 = jnp.asarray(jnp.broadcast_to(min_dists, (n,)), jnp.float32)
     res0 = jnp.ones((n,), jnp.float32)
@@ -167,10 +195,11 @@ def softshadows(sdf_b, origins, dirs, min_dists, max_dists, k, *,
     return jnp.where(blocked, 0.0, res)
 
 
-def ambient_occlusion(sdf_b, pos, normal, *, steps=3, step_size=0.1):
+def ambient_occlusion(sdf, pos, normal, *, steps=3, step_size=0.1):
     """Exponentially-weighted SDF probes along the normal
     (lighting.glsl:51-69): ao = 0.6 + 0.4·Σ(wᵢ·sdf(p+n·(i+1)h)) / Σ(wᵢ·(i+1)h)
     with wᵢ = 2^-i."""
+    sdf_b, _ = _as_closure(sdf)
     if steps <= 0:
         return jnp.ones(pos.shape[:-1], jnp.float32)
     ao_sum = 0.0

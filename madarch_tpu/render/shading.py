@@ -156,8 +156,10 @@ def pixel_color(spec: SceneSpec, data: SceneData,
     reference leaves it undefined there — GLSL UB we replace with the
     sensible choice).
     """
-    sdf_b = make_sdf_b(spec, data, stop_grad=True)
-    sdf_b_diff = make_sdf_b(spec, data, stop_grad=False)
+    from madarch_tpu.render.context import SceneCtx
+    ctx = SceneCtx(spec, data)
+    sdf_b = ctx  # march entry points accept the ctx (kernel fast path)
+    sdf_b_diff = ctx.sdf_b_diff
 
     t, hit, _ = raycast(sdf_b, origins, dirs, spec.max_dist,
                         max_steps=cfg.max_march_steps)

@@ -55,6 +55,10 @@ class PrimitiveType:
     fields: tuple  # tuple[(field_name, kind), ...]; material_id implied last
     sdf: Callable  # (params: dict, p: f32[3]) -> f32[]
     normal: Optional[Callable] = None  # (params, p) -> f32[3]; None => grad
+    # Planar form for the fused Pallas march kernels: params hold *scalars*
+    # (vec3 fields appear as name_x/name_y/name_z), px/py/pz are tile-shaped
+    # arrays.  None => the type is excluded from the kernel fast path.
+    sdf_planar: Optional[Callable] = None  # (params, px, py, pz) -> dist
 
     def distance(self, params, p):
         return self.sdf(params, p)
@@ -82,11 +86,19 @@ def _sphere_normal(params, p):
     return vm.normalize(p - params["center"])
 
 
+def _sphere_sdf_planar(s, px, py, pz):
+    dx = s["center_x"] - px
+    dy = s["center_y"] - py
+    dz = s["center_z"] - pz
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz) - s["radius"]
+
+
 Sphere = PrimitiveType(
     name="sphere",
     fields=(("center", VEC3), ("radius", FLOAT), ("material_id", INT)),
     sdf=_sphere_sdf,
     normal=_sphere_normal,
+    sdf_planar=_sphere_sdf_planar,
 )
 
 
@@ -102,11 +114,17 @@ def _plane_normal(params, p):
     return params["normal"] * jnp.ones_like(p)
 
 
+def _plane_sdf_planar(s, px, py, pz):
+    return (s["normal_x"] * px + s["normal_y"] * py + s["normal_z"] * pz
+            + s["offset"])
+
+
 Plane = PrimitiveType(
     name="plane",
     fields=(("normal", VEC3), ("offset", FLOAT), ("material_id", INT)),
     sdf=_plane_sdf,
     normal=_plane_normal,
+    sdf_planar=_plane_sdf_planar,
 )
 
 
@@ -136,11 +154,24 @@ def _box_normal(params, p):
     return vm.normalize(n)
 
 
+def _box_sdf_planar(s, px, py, pz):
+    qx = jnp.abs(s["center_x"] - px) - s["side_x"]
+    qy = jnp.abs(s["center_y"] - py) - s["side_y"]
+    qz = jnp.abs(s["center_z"] - pz) - s["side_z"]
+    ox = jnp.maximum(qx, 0.0)
+    oy = jnp.maximum(qy, 0.0)
+    oz = jnp.maximum(qz, 0.0)
+    outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+    return outside + inside
+
+
 Box = PrimitiveType(
     name="box",
     fields=(("center", VEC3), ("side", VEC3), ("material_id", INT)),
     sdf=_box_sdf,
     normal=_box_normal,
+    sdf_planar=_box_sdf_planar,
 )
 
 
@@ -176,11 +207,52 @@ def _triangle_sdf(params, p):
     return jnp.sqrt(jnp.maximum(jnp.where(inside, edge_d2, plane_d2), 1e-30))
 
 
+def _triangle_sdf_planar(s, px, py, pz):
+    def v(name):
+        return (s[name + "_x"], s[name + "_y"], s[name + "_z"])
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+    def dotp(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def crossp(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    v1, v2, v3 = v("v1"), v("v2"), v("v3")
+    p = (px, py, pz)
+    v21, v32, v13 = sub(v2, v1), sub(v3, v2), sub(v1, v3)
+    p1, p2, p3 = sub(p, v1), sub(p, v2), sub(p, v3)
+    nor = crossp(v21, v13)
+
+    inside = (jnp.sign(dotp(crossp(v21, nor), p1))
+              + jnp.sign(dotp(crossp(v32, nor), p2))
+              + jnp.sign(dotp(crossp(v13, nor), p3))) < 2.0
+
+    def edge(vv, q):
+        t = jnp.clip(dotp(vv, q) / jnp.maximum(dotp(vv, vv), 1e-30),
+                     0.0, 1.0)
+        ex = vv[0] * t - q[0]
+        ey = vv[1] * t - q[1]
+        ez = vv[2] * t - q[2]
+        return ex * ex + ey * ey + ez * ez
+
+    edge_d2 = jnp.minimum(jnp.minimum(edge(v21, p1), edge(v32, p2)),
+                          edge(v13, p3))
+    plane_d2 = dotp(nor, p1) ** 2 / jnp.maximum(dotp(nor, nor), 1e-30)
+    return jnp.sqrt(jnp.maximum(jnp.where(inside, edge_d2, plane_d2),
+                                1e-30))
+
+
 Triangle = PrimitiveType(
     name="triangle",
     fields=(("v1", VEC3), ("v2", VEC3), ("v3", VEC3), ("material_id", INT)),
     sdf=_triangle_sdf,
     normal=None,  # jax.grad of the SDF, normalized
+    sdf_planar=_triangle_sdf_planar,
 )
 
 
