@@ -104,7 +104,9 @@ def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
                                   frag.reshape(-1, 2), spec.max_dist)
 
     color = jnp.maximum(color, 0.0)
-    color = (color / (color + 1.0)) ** 0.4545
+    # Reinhard + gamma; the 1e-8 keeps the pow's reverse-mode derivative
+    # finite at pure black (value shift ~2e-4, invisible at 8 bits).
+    color = ((color + 1e-8) / (color + 1.0)) ** 0.4545
     return color.reshape(height, width, 3)
 
 

@@ -32,8 +32,14 @@ from madarch_tpu.render.raymarch import SURFACE_OFFSET, raycast_visibility
 # ---------------------------------------------------------------------------
 
 def dir_to_oct(v):
-    """Unit vec3 -> octahedral coords in [-1, 1]² (float32x3_to_oct)."""
-    denom = jnp.abs(v[..., 0]) + jnp.abs(v[..., 1]) + jnp.abs(v[..., 2])
+    """Unit vec3 -> octahedral coords in [-1, 1]² (float32x3_to_oct).
+
+    The max() guards the zero vectors that masked-out lanes carry (miss
+    pixels have a zero normal) — without it the backward pass turns the
+    masked NaN into a real one.
+    """
+    denom = jnp.maximum(
+        jnp.abs(v[..., 0]) + jnp.abs(v[..., 1]) + jnp.abs(v[..., 2]), 1e-12)
     p = v[..., :2] / denom[..., None]
     folded = (1.0 - jnp.abs(p[..., ::-1])) * sign_not_zero(p)
     return jnp.where((v[..., 2] <= 0.0)[..., None], folded, p)
@@ -46,7 +52,8 @@ def oct_to_dir(e):
                    (1.0 - jnp.abs(e[..., ::-1])) * sign_not_zero(e),
                    e)
     v = jnp.concatenate([xy, z[..., None]], axis=-1)
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                           1e-12)
 
 
 def dir_to_ray_id(v):
@@ -260,7 +267,8 @@ def sample_irradiance(settings: ProbeSettings, sdf_b, irr_atlas, pos, normal,
     irr_ray_id8 = jnp.broadcast_to(irr_ray_id[None], (8, n_pts, 2))
     vals = sample_tile_bilinear(irr_atlas, tx.reshape(-1), ty.reshape(-1),
                                 irr_ray_id8.reshape(-1, 2), ir)
-    vals = jnp.sqrt(jnp.maximum(vals, 0.0)).reshape(8, n_pts, 3)
+    # 1e-12 floor: sqrt' is infinite at 0 and the atlas starts all-zero
+    vals = jnp.sqrt(jnp.maximum(vals, 1e-12)).reshape(8, n_pts, 3)
 
     total_w = jnp.maximum(jnp.sum(weight, axis=0), 1e-9)
     irr = jnp.sum(vals * weight[..., None], axis=0) / total_w[..., None]

@@ -238,5 +238,7 @@ def scene_normal(sdf_b_diff, pos):
     replacement for per-primitive normal expressions; differentiable w.r.t.
     scene parameters via sdf_b_diff's closure."""
     g = jax.grad(lambda q: jnp.sum(sdf_b_diff(q)))(pos)
-    norm = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    # sqrt(x²+eps) instead of max(norm, eps): the latter has a 0·inf = NaN
+    # backward at g = 0 (far-miss lanes sit on the constant max_dist clamp).
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-24)
     return g / norm

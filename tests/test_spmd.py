@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madarch_tpu.core.config import (NO_VOLUMETRICS, ProbeSettings,
+                                     ShadeConfig, VolumetricsSettings)
+from madarch_tpu.parallel import spmd
+from madarch_tpu.render.pipeline import initial_state, render_frame_impl
+
+PROBES = ProbeSettings(radiance_resolution=8, irradiance_resolution=4,
+                       probe_count=(4, 2), grid_dimensions=(2, 2, 2),
+                       grid_spacing=(4.0, 4.0, 4.0))
+CFG = ShadeConfig(direct_specular=True, indirect_specular_mode=0,
+                  add_indirect_specular=False, ambient_occlusion_steps=0,
+                  render_volumetrics=False, max_march_steps=48)
+
+
+def build_renderer(w, h):
+    from madarch_tpu.examples.scenes import global_illumination
+    return global_illumination(width=w, height=h, probes=PROBES)
+
+
+def test_mesh_has_8_devices():
+    mesh = spmd.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_render_matches_single_device():
+    w = h = 16
+    r = build_renderer(w, h)
+    mesh = spmd.make_mesh()
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+
+    run = spmd.make_sharded_render(r.spec, PROBES, NO_VOLUMETRICS, w, h,
+                                   mesh, screen_cfg=CFG)
+    img_sharded, _ = run(data, r.camera, state)
+
+    img_single, _ = jax.jit(
+        lambda d, c, s: render_frame_impl(
+            r.spec, PROBES, NO_VOLUMETRICS, w, h, d, c, s,
+            screen_cfg=CFG))(r.scene_data, r.camera, r.state)
+    np.testing.assert_allclose(np.asarray(img_sharded),
+                               np.asarray(img_single), atol=1e-5)
+
+
+def test_train_step_runs_and_descends():
+    w = h = 16
+    r = build_renderer(w, h)
+    mesh = spmd.make_mesh()
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+    step = spmd.make_train_step(r.spec, PROBES, NO_VOLUMETRICS, w, h, mesh,
+                                lr=0.05, screen_cfg=CFG)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    loss0, data1, state1 = step(data, r.camera, state, target)
+    assert np.isfinite(loss0)
+    # second step from updated params: loss should not explode and params
+    # should have moved toward darker materials
+    loss1, data2, _ = step(data1, r.camera, state1, target)
+    assert np.isfinite(loss1)
+    moved = np.abs(np.asarray(data1.materials["albedo"])
+                   - np.asarray(data.materials["albedo"])).max()
+    assert moved > 0.0
+
+
+def test_split_merge_float_leaves_roundtrip():
+    r = build_renderer(8, 8)
+    data = r.scene_data
+    floats, aux = spmd.split_float_leaves(data)
+    back = spmd.merge_float_leaves(aux, floats)
+    flat_a = jax.tree.leaves(data)
+    flat_b = jax.tree.leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
