@@ -8,8 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from madarch_tpu.core.config import (NO_VOLUMETRICS, ProbeSettings,
-                                     VolumetricsSettings)
+from madarch_tpu.core.config import (NO_VOLUMETRICS, PartitioningSettings,
+                                     ProbeSettings, VolumetricsSettings)
 from madarch_tpu.render.renderer import Renderer
 from madarch_tpu.scene import lights as L
 from madarch_tpu.scene import primitives as P
@@ -112,3 +112,86 @@ def light_shafts(width=1000, height=1000, **kwargs) -> Renderer:
                 color=(0.9, 0.9, 0.8))
     r.set_camera_position((2.0, 2.0, 0.0))
     return r
+
+
+def obj_mesh(width=1000, height=1000, obj_path=None, triangle_capacity=1000,
+             partition_method="gpu_fast", **kwargs) -> Renderer:
+    """examples/obj_mesh/main.adb: suzanne.obj as 968 Triangle primitives
+    with a fine 30×20×20 × 0.1 partitioning grid."""
+    from madarch_tpu.scene.mesh import add_mesh_to_renderer, load_obj
+
+    spec = SceneSpec(
+        prims=((P.Triangle, triangle_capacity),),
+        lights=((L.PointLight, 4),),
+        partitioning=PartitioningSettings(
+            index_count=150, border_behavior="clamp",
+            grid_dimensions=(30, 20, 20),
+            grid_spacing=(0.1, 0.1, 0.1),
+            grid_offset=(0.0, 0.0, 0.0)))
+    probes = kwargs.pop("probes", ProbeSettings(
+        radiance_resolution=32, irradiance_resolution=8,
+        probe_count=(6, 6), grid_dimensions=(3, 3, 4),
+        grid_spacing=(2.0, 3.0, 3.0)))
+    r = Renderer(spec, width, height, probes=probes,
+                 volumetrics=NO_VOLUMETRICS, **kwargs)
+    mesh_mat = r.add_material((0.8, 0.2, 0.1), 0.0, 1.0)
+    if obj_path is None:
+        obj_path = "/root/reference/media/suzanne.obj"
+    mesh = load_obj(obj_path)
+    add_mesh_to_renderer(r, mesh, mesh_mat, offset=(1.5, 1.0, 1.0))
+    r.add_light(L.PointLight, position=(0.0, 1.0, -5.0),
+                color=(0.9, 0.9, 0.9))
+    r.set_camera_position((0.0, 1.0, -5.0))
+    r.update_partitioning(partition_method)
+    return r
+
+
+def ball_game(width=1000, height=1000, **kwargs):
+    """examples/ball_game/main.adb: the GI room plus dynamically thrown
+    balls with CPU physics driven by eval_distance_to.  Returns
+    (renderer, step_physics, throw_ball)."""
+    spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 10), (P.Box, 10)),
+                     lights=((L.SpotLight, 4),))
+    r = Renderer(spec, width, height, volumetrics=NO_VOLUMETRICS, **kwargs)
+    wall1 = r.add_material((0.0, 0.0, 0.0), 0.0, 0.6)
+    wall2 = r.add_material((1.0, 0.0, 0.0), 0.0, 0.6)
+    wall3 = r.add_material((0.0, 0.0, 1.0), 0.0, 0.6)
+    ball_m = r.add_material((0.1, 0.1, 0.1), 0.9, 0.1)
+    box_m = r.add_material((0.0, 1.0, 0.0), 0.8, 0.3)
+    _room(r, (wall1, wall2, wall3))
+    r.add_primitive(P.Box, center=(3.0, 0.0, 4.0), side=(1.5, 1.5, 1.5),
+                    material_id=box_m)
+    r.add_light(L.SpotLight, position=(3.5, 5.0, 2.0),
+                direction=(1.0, 0.0, 0.0), aperture=3.1415 / 4.0,
+                color=(0.9, 0.9, 0.8))
+    r.set_camera_position((2.0, 2.0, 0.0))
+
+    balls = []  # list of dicts: index, pos, vel, radius
+
+    def throw_ball(origin, velocity, radius=0.3):
+        idx = r.add_primitive(P.Sphere, center=tuple(origin), radius=radius,
+                              material_id=ball_m)
+        balls.append({"index": idx, "pos": np.asarray(origin, np.float32),
+                      "vel": np.asarray(velocity, np.float32),
+                      "radius": radius})
+        return idx
+
+    def step_physics(dt=0.016, gravity=(0.0, -9.8, 0.0), restitution=0.8):
+        """Gravity integration + collision with planes/boxes via
+        Eval_Distance_To, reflect bounce (ball_game/main.adb:190-221)."""
+        for ball in balls:
+            ball["vel"] = ball["vel"] + np.asarray(gravity) * dt
+            new_pos = ball["pos"] + ball["vel"] * dt
+            dist, normal = r.eval_distance_to(new_pos,
+                                              prims=[P.Plane, P.Box])
+            if dist < ball["radius"]:
+                vn = float(np.dot(ball["vel"], normal))
+                if vn < 0.0:
+                    ball["vel"] = (ball["vel"] - 2.0 * vn * normal) \
+                        * restitution
+                new_pos = ball["pos"] + ball["vel"] * dt
+            ball["pos"] = new_pos
+            r.set_primitive(P.Sphere, ball["index"],
+                            center=tuple(ball["pos"]))
+
+    return r, step_physics, throw_ball

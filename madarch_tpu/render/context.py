@@ -30,17 +30,27 @@ class SceneCtx:
         self.spec = spec
         data_sg = jax.tree.map(lax.stop_gradient, data)
         self.data = data
-        self.sdf_b = jax.vmap(lambda p: scene_sdf(spec, data_sg, p))
         self.sdf_b_diff = jax.vmap(lambda p: scene_sdf(spec, data, p))
         self.max_dist = spec.max_dist
 
+        if spec.partitioning is not None and data.grid is not None:
+            # marches use the grid candidate lists (partitioning_closest);
+            # the differentiable/info paths stay full-scene.
+            from madarch_tpu.scene.partitioning import grid_closest
+            settings = spec.partitioning
+            self.sdf_b = jax.vmap(lambda p: grid_closest(
+                spec, settings, data_sg, data_sg.grid, p))
+        else:
+            self.sdf_b = jax.vmap(lambda p: scene_sdf(spec, data_sg, p))
+
         self.plan = march_ops.build_plan(spec) if _kernels_enabled() else None
-        if self.plan is not None and self.plan.total_capacity <= 128:
+        if (self.plan is not None and self.plan.total_capacity <= 128
+                and data.grid is None):
             self.params_vec, self.counts = march_ops.pack_params(
                 self.plan, data_sg)
         else:
-            # very large unrolled scenes need the partitioned kernel; fall
-            # back to the XLA path until then
+            # large scenes march through the grid; the grid-aware Pallas
+            # kernel is future work — XLA path meanwhile
             self.plan = None
 
     @property

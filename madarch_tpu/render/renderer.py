@@ -90,8 +90,21 @@ class Renderer:
     @property
     def scene_data(self):
         if self._data is None:
-            self._data = self.builder.device_data()
+            self._data = self.builder.device_data(
+                grid=getattr(self, "_grid", None))
         return self._data
+
+    def update_partitioning(self, method: str = "gpu_fast"):
+        """Rebuild the uniform-grid candidate lists (Update_Partitioning,
+        madarch-renderers.adb:757; methods cpu_best/cpu_fast/gpu_fast).
+        No-op when the spec has no partitioning settings."""
+        if self.spec.partitioning is None:
+            return
+        from madarch_tpu.scene.partitioning import build_grid
+        base = self.builder.device_data(grid=None)
+        self._grid = build_grid(self.spec, self.spec.partitioning, base,
+                                method=method)
+        self._data = None
 
     @property
     def camera(self) -> Camera:

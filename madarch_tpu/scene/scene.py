@@ -39,12 +39,17 @@ MAX_MATERIALS = 20  # reference materials.glsl:7-10 capacity
 
 @dataclasses.dataclass(frozen=True)
 class SceneSpec:
-    """Static scene shape: (type, capacity) pairs; a jit static argument."""
+    """Static scene shape: (type, capacity) pairs; a jit static argument.
+
+    ``partitioning`` mirrors Scenes.Compile's Partitioning_Settings argument
+    (madarch-scenes.ads:47-55): None disables the grid.
+    """
 
     prims: Tuple[Tuple[PrimitiveType, int], ...]
     lights: Tuple[Tuple[LightType, int], ...]
     max_dist: float = 20.0
     max_materials: int = MAX_MATERIALS
+    partitioning: object = None  # Optional[PartitioningSettings]
 
     def prim_offset(self, ptype: PrimitiveType) -> int:
         """Start of this type's global-index block (capacity-based)."""
@@ -82,7 +87,8 @@ class SceneSpec:
             "roughness": jnp.zeros((self.max_materials,), jnp.float32),
         }
         return SceneData(prims=prims, prim_counts=counts, lights=lights,
-                         light_counts=lcounts, materials=materials)
+                         light_counts=lcounts, materials=materials,
+                         grid=None)
 
 
 @jax.tree_util.register_dataclass
@@ -95,6 +101,7 @@ class SceneData:
     lights: dict       # type name -> field name -> arrays
     light_counts: dict  # type name -> i32[]
     materials: dict    # albedo f32[M,3], metallic f32[M], roughness f32[M]
+    grid: object = None  # Optional[GridData] from scene/partitioning.py
 
     def total_light_count(self):
         counts = list(self.light_counts.values())
@@ -271,8 +278,9 @@ class SceneBuilder:
         self._roughness[index] = roughness
         self._material_count = max(self._material_count, index + 1)
 
-    def device_data(self) -> SceneData:
+    def device_data(self, grid=None) -> SceneData:
         return SceneData(
+            grid=grid,
             prims=jax.tree.map(jnp.asarray, self._prims),
             prim_counts={k: jnp.asarray(v, jnp.int32)
                          for k, v in self._prim_counts.items()},
