@@ -195,3 +195,35 @@ def ball_game(width=1000, height=1000, **kwargs):
                             center=tuple(ball["pos"]))
 
     return r, step_physics, throw_ball
+
+
+def bvh_test(width=1000, height=1000, n_spheres=16, seed=7,
+             **kwargs) -> Renderer:
+    """examples/bvh_test/main.adb: a SAH BVH over random spheres compiled
+    into a single BVH primitive's distance function (with the 0.2-threshold
+    early-out box stand-ins), exercising the tree-to-computation compile."""
+    from madarch_tpu.scene.bvh import build_bvh, make_bvh_primitive
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(0.5, 5.5, (n_spheres, 3)).astype(np.float32)
+    radius = 0.4
+    boxes = [(c - radius, c + radius) for c in centers]
+    tree = build_bvh(boxes)
+    leaf_sdfs = [
+        (lambda p, cc=jnp.asarray(c): jnp.linalg.norm(p - cc, axis=-1)
+         - radius)
+        for c in centers]
+    bvh_prim = make_bvh_primitive("bvh_scene", tree, leaf_sdfs)
+
+    spec = SceneSpec(prims=((bvh_prim, 1), (P.Plane, 6)),
+                     lights=((L.PointLight, 2),))
+    r = Renderer(spec, width, height, volumetrics=NO_VOLUMETRICS, **kwargs)
+    wall = r.add_material((0.4, 0.4, 0.4), 0.0, 0.6)
+    ball = r.add_material((0.8, 0.3, 0.1), 0.2, 0.4)
+    _room(r, (wall, wall, wall))
+    r.add_primitive(bvh_prim, position=(0.0, 0.0, 0.0), material_id=ball)
+    r.add_light(L.PointLight, position=(3.0, 5.0, 1.0),
+                color=(0.9, 0.9, 0.9))
+    r.set_camera_position((3.0, 3.0, -3.0))
+    return r
