@@ -175,6 +175,45 @@ def sample_tile_bilinear(atlas, tile_x, tile_y, ray_id, res: int):
     return top * (1 - wy) + bot * wy
 
 
+def radiance_mips(settings: ProbeSettings, atlas, levels: int):
+    """Mip pyramid of the radiance atlas (2×2 box per level) — the GL
+    textureLod source for sample_radiance_with_specular
+    (render_probes.glsl:105-135).  Levels stay tile-aligned while the tile
+    resolution divides by 2."""
+    mips = [atlas]
+    cur = atlas
+    for _ in range(levels):
+        h, w, _ = cur.shape
+        if h % 2 or w % 2:
+            break
+        cur = cur.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+        mips.append(cur)
+    return mips
+
+
+def sample_tile_lod(settings: ProbeSettings, mips, tile_x, tile_y, ray_id,
+                    lod):
+    """Fractional-LOD bilinear sample inside one probe tile (textureLod):
+    lerp between the two adjacent mip levels."""
+    n_levels = len(mips)
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - lo.astype(jnp.float32)
+
+    base_res = settings.radiance_resolution
+    out_lo = jnp.zeros(ray_id.shape[:-1] + (3,), jnp.float32)
+    out_hi = jnp.zeros(ray_id.shape[:-1] + (3,), jnp.float32)
+    for lvl in range(n_levels):
+        res = base_res >> lvl
+        v = sample_tile_bilinear(mips[lvl], tile_x, tile_y, ray_id, res)
+        out_lo = jnp.where((lo == lvl)[..., None], v, out_lo)
+        hi_lvl = min(lvl + 1, n_levels - 1)
+        v_hi = sample_tile_bilinear(mips[hi_lvl], tile_x, tile_y, ray_id,
+                                    base_res >> hi_lvl)
+        out_hi = jnp.where((lo == lvl)[..., None], v_hi, out_hi)
+    return out_lo * (1.0 - frac[..., None]) + out_hi * frac[..., None]
+
+
 def radiance_mip1(settings: ProbeSettings, atlas):
     """2×2 box-downsample of the radiance atlas — GL mip level 1, used by
     sample_radiance_no_specular's textureLod(..., 1.0)

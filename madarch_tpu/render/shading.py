@@ -62,11 +62,21 @@ def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
 
     specular_dir = reflect(dirs, normal)
     specular_col = jnp.zeros_like(pos)
-    if cfg.indirect_specular_mode == 2:
+    if cfg.indirect_specular_mode > 0:
+        # roughness < 0.75 gate (render_probes.glsl:268)
         spec_enabled = hit & (roughness < 0.75)
-        specular_col = sample_radiance_no_specular(
-            spec, data, probe_settings, cfg, sdf_b, rad_atlas,
-            pos, normal, specular_dir, enabled=spec_enabled)
+        if cfg.indirect_specular_mode == 1:
+            specular_col = sample_radiance_with_specular(
+                spec, data, probe_settings, cfg, sdf_b, rad_atlas,
+                pos, normal, specular_dir, roughness, enabled=spec_enabled)
+        elif cfg.indirect_specular_mode == 2:
+            specular_col = sample_radiance_no_specular(
+                spec, data, probe_settings, cfg, sdf_b, rad_atlas,
+                pos, normal, specular_dir, enabled=spec_enabled)
+        else:
+            specular_col = compute_indirect_specular(
+                spec, data, probe_settings, cfg, sdf_b, irr_atlas,
+                pos, normal, specular_dir, enabled=spec_enabled)
         specular_col = jnp.where(spec_enabled[..., None], specular_col, 0.0)
 
     indirect = indirect_lighting(
@@ -144,6 +154,101 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
         radiance = radiance + highlight
 
     return jnp.where(hit[..., None], radiance, 0.0)
+
+
+def sample_radiance_with_specular(spec, data, probe_settings, cfg, sdf_b,
+                                  rad_atlas, pos, normal, spec_dir,
+                                  roughness, *, enabled):
+    """Indirect specular mode 1 (render_probes.glsl:71-136): glossy probe
+    lookup — reflection raycast, 8-probe soft-shadow-weighted trilinear
+    radiance sample at a roughness-driven mip LOD."""
+    import math
+
+    n_pts = pos.shape[0]
+    settings = probe_settings
+    spacing = jnp.asarray(settings.grid_spacing, jnp.float32)
+    dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
+    rr = settings.radiance_resolution
+    radiance_lods = int(math.log2(rr))
+
+    from_ = pos + normal * SURFACE_OFFSET
+    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
+                               enabled=enabled,
+                               max_steps=cfg.max_march_steps)
+    pos_to_spec = spec_pos - pos
+
+    grid_pos = jnp.floor(pos / spacing).astype(jnp.int32)
+    alpha = pos / spacing - grid_pos.astype(jnp.float32)
+    offsets = jnp.asarray(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+        jnp.int32)
+    offseted = jnp.clip(grid_pos[None] + offsets[:, None], 0, dims - 1)
+    probe_world = offseted.astype(jnp.float32) * spacing
+    probe_to_spec = (pos[None] - probe_world) + pos_to_spec[None]
+    p_dist = jnp.maximum(jnp.linalg.norm(probe_to_spec, axis=-1), 1e-6)
+    probe_to_spec = probe_to_spec / p_dist[..., None]
+
+    # visibility by penumbra march back toward the probe (k = 0.5)
+    from madarch_tpu.render.raymarch import softshadows
+    vis_enabled = jnp.broadcast_to((enabled & hit)[None], (8, n_pts))
+    w = softshadows(
+        sdf_b,
+        jnp.broadcast_to(spec_pos[None], (8, n_pts, 3)).reshape(-1, 3),
+        (-probe_to_spec).reshape(-1, 3),
+        jnp.full((8 * n_pts,), SURFACE_OFFSET, jnp.float32),
+        (p_dist - SURFACE_OFFSET).reshape(-1),
+        0.5,
+        enabled=vis_enabled.reshape(-1),
+        max_steps=cfg.max_march_steps).reshape(8, n_pts)
+    weight = jnp.maximum(w, 0.001)
+    tri = (1.0 - alpha[None]) * (1 - offsets[:, None]) \
+        + alpha[None] * offsets[:, None]
+    weight = weight * tri[..., 0] * tri[..., 1] * tri[..., 2]
+
+    lod = radiance_lods * jnp.clip(roughness * 2.0, 0.0, 1.0)   # [N]
+    pid = probes_mod.grid_position_to_probe_id(settings, offseted)
+    tx, ty = probes_mod.probe_id_to_tile(settings, pid)
+    rad_ray_id = probes_mod.dir_to_ray_id(probe_to_spec)         # [8,N,2]
+    mips = probes_mod.radiance_mips(settings, rad_atlas, radiance_lods)
+    vals = probes_mod.sample_tile_lod(
+        settings, mips, tx.reshape(-1), ty.reshape(-1),
+        rad_ray_id.reshape(-1, 2),
+        jnp.broadcast_to(lod[None], (8, n_pts)).reshape(-1))
+    vals = vals.reshape(8, n_pts, 3)
+
+    total_w = jnp.maximum(jnp.sum(weight, axis=0), 1e-9)
+    radiance = jnp.sum(vals * weight[..., None], axis=0) / total_w[..., None]
+    return jnp.where(hit[..., None], radiance, 0.0)
+
+
+def compute_indirect_specular(spec, data, probe_settings, cfg, sdf_b,
+                              irr_atlas, pos, normal, spec_dir, *, enabled):
+    """Indirect specular mode 3 (render_probes.glsl:211-244): mirror — a
+    full secondary shade (direct + irradiance-lit indirect) at the
+    reflection hit; sky gradient on miss."""
+    n_pts = pos.shape[0]
+    from_ = pos + normal * SURFACE_OFFSET
+    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
+                               enabled=enabled,
+                               max_steps=cfg.max_march_steps)
+    data_sg = jax.tree.map(lax.stop_gradient, data)
+    _, idx = jax.vmap(lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
+    s_normal, s_mid = jax.vmap(
+        lambda i, p: primitive_info(spec, data, i, p))(idx, spec_pos)
+    s_albedo, s_metallic, s_roughness = material_lookup(data, s_mid)
+
+    direct = direct_lighting(
+        spec, data, sdf_b, spec_pos, s_normal, spec_dir, s_albedo,
+        s_metallic, s_roughness, compute_specular=cfg.direct_specular,
+        enabled=enabled & hit, max_steps=cfg.max_march_steps)
+    irradiance = probes_mod.sample_irradiance(
+        probe_settings, sdf_b, irr_atlas, spec_pos, s_normal,
+        enabled=enabled & hit, max_steps=cfg.max_march_steps)
+    sec_spec_dir = reflect(spec_dir, s_normal)
+    indirect = indirect_lighting(
+        irradiance, jnp.zeros_like(spec_pos), -spec_dir, s_normal,
+        sec_spec_dir, s_albedo, s_metallic, s_roughness)
+    return jnp.where(hit[..., None], indirect + direct, sky_color(spec_dir))
 
 
 def pixel_color(spec: SceneSpec, data: SceneData,
