@@ -118,7 +118,8 @@ def obj_mesh(width=1000, height=1000, obj_path=None, triangle_capacity=1000,
              partition_method="gpu_fast", **kwargs) -> Renderer:
     """examples/obj_mesh/main.adb: suzanne.obj as 968 Triangle primitives
     with a fine 30×20×20 × 0.1 partitioning grid."""
-    from madarch_tpu.scene.mesh import add_mesh_to_renderer, load_obj
+    from madarch_tpu.scene.mesh import add_mesh_to_renderer
+    from madarch_tpu.native import load_obj
 
     spec = SceneSpec(
         prims=((P.Triangle, triangle_capacity),),
