@@ -39,6 +39,7 @@ class ScenePlan:
 
     entries: tuple  # ((ptype, cap, ((scalar_name, base_offset), ...)), ...)
     n_params: int
+    static_counts: bool = False  # live counts baked in: no slot masking
 
     @property
     def total_capacity(self):
@@ -46,11 +47,16 @@ class ScenePlan:
 
 
 def build_plan(spec):
-    """Static half: scalar layout for all primitive types with planar SDFs."""
+    """Static half: scalar layout for all primitive types with planar SDFs.
+
+    When the spec carries static live counts (SceneSpec.specialized), the
+    kernel unrolls over exactly the live slots and drops the per-slot count
+    mask — the compiled kernel is the scene, as the reference's generated
+    GLSL was (madarch-scenes.adb:602-629)."""
     entries = []
     off = 0
-    for ptype, cap in spec.prims:
-        if cap == 0:
+    for ptype, cap, n, static in spec.prim_bounds():
+        if n == 0:
             continue
         if ptype.sdf_planar is None:
             return None  # custom type without planar form: no kernel path
@@ -61,28 +67,29 @@ def build_plan(spec):
             if kind == "vec3":
                 for ax in "xyz":
                     scalars.append((f"{fname}_{ax}", off))
-                    off += cap
+                    off += n
             elif kind == "float":
                 scalars.append((fname, off))
-                off += cap
+                off += n
             else:
                 return None  # int-valued SDF params unsupported in kernel
-        entries.append((ptype, cap, tuple(scalars)))
-    return ScenePlan(entries=tuple(entries), n_params=off)
+        entries.append((ptype, n, tuple(scalars)))
+    return ScenePlan(entries=tuple(entries), n_params=off,
+                     static_counts=spec.live_prims is not None)
 
 
 def pack_params(plan: ScenePlan, data):
     """Dynamic half: f32[NP, 1] parameter vector + i32[ntypes, 1] counts."""
     parts = []
     counts = []
-    for ptype, cap, scalars in plan.entries:
+    for ptype, n, scalars in plan.entries:
         params = data.prims[ptype.name]
         for sname, _ in scalars:
             if sname in params:
-                parts.append(params[sname].astype(jnp.float32))
+                parts.append(params[sname][:n].astype(jnp.float32))
             else:
                 base, ax = sname.rsplit("_", 1)
-                parts.append(params[base][:, "xyz".index(ax)].astype(
+                parts.append(params[base][:n, "xyz".index(ax)].astype(
                     jnp.float32))
         counts.append(data.prim_counts[ptype.name])
     vec = jnp.concatenate(parts).reshape(-1, 1)
@@ -93,12 +100,13 @@ def pack_params(plan: ScenePlan, data):
 def _scene_dist(plan: ScenePlan, params_ref, counts_ref, px, py, pz,
                 max_dist):
     closest = jnp.full(px.shape, max_dist, jnp.float32)
-    for t_idx, (ptype, cap, scalars) in enumerate(plan.entries):
-        cnt = counts_ref[t_idx, 0]
-        for i in range(cap):
+    for t_idx, (ptype, n, scalars) in enumerate(plan.entries):
+        cnt = None if plan.static_counts else counts_ref[t_idx, 0]
+        for i in range(n):
             s = {name: params_ref[off + i, 0] for name, off in scalars}
             d = ptype.sdf_planar(s, px, py, pz)
-            d = jnp.where(i < cnt, d, max_dist)
+            if cnt is not None:
+                d = jnp.where(i < cnt, d, max_dist)
             closest = jnp.minimum(closest, d)
     return closest
 

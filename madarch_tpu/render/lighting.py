@@ -31,10 +31,10 @@ def direct_lighting(spec, data, sdf_b, pos, normal, view_dir, albedo,
     if max_steps is not None:
         march_kwargs["max_steps"] = max_steps
 
-    for ltype, cap in spec.lights:
-        count = data.light_counts[ltype.name]
-        for slot in range(cap):
-            live = slot < count
+    for ltype, cap, n, static in spec.light_bounds():
+        count = None if static else data.light_counts[ltype.name]
+        for slot in range(n):
+            live = True if static else slot < count
             params = jax.tree.map(lambda a: a[slot], data.lights[ltype.name])
             radiance, ldir, ldist = ltype.sample(params, pos, normal)
             ndotl = jnp.maximum(dot(normal, ldir), 0.0)
@@ -44,7 +44,8 @@ def direct_lighting(spec, data, sdf_b, pos, normal, view_dir, albedo,
             if not compute_specular:
                 ks = jnp.zeros_like(ks)
 
-            shadow_on = (ndotl > EPSILON) & live
+            shadow_on = (ndotl > EPSILON) if static \
+                else (ndotl > EPSILON) & live
             if enabled is not None:
                 shadow_on = shadow_on & enabled
             shadows = softshadows(
@@ -61,7 +62,8 @@ def direct_lighting(spec, data, sdf_b, pos, normal, view_dir, albedo,
 
             contrib = ((kd * albedo / PI + ks)
                        * radiance * (ndotl * shadows)[..., None])
-            lo = lo + jnp.where(live, contrib, 0.0)
+            lo = lo + (contrib if static
+                       else jnp.where(live, contrib, 0.0))
     return lo
 
 

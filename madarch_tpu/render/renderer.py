@@ -36,8 +36,15 @@ class Renderer:
                  probes: ProbeSettings = ProbeSettings(),
                  volumetrics: VolumetricsSettings = VolumetricsSettings(),
                  screen_cfg: Optional[ShadeConfig] = None,
-                 probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG):
-        self.spec = spec
+                 probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG,
+                 specialize_counts: bool = True):
+        """``specialize_counts`` bakes the live primitive/light counts into
+        the compiled pipeline as static loop bounds (the scene-compiler move:
+        the reference generates GLSL for the exact scene shape).  Each
+        add_primitive/add_light then triggers a recompile on the next
+        render(); pass False for count-dynamic scenes."""
+        self.base_spec = spec
+        self.specialize_counts = specialize_counts
         self.width = width
         self.height = height
         self.probes = probes
@@ -86,6 +93,15 @@ class Renderer:
     def set_camera_angles(self, rot_x: float, rot_y: float):
         self.camera_orientation = np.asarray(
             orientation_from_angles(rot_x, rot_y))
+
+    @property
+    def spec(self) -> SceneSpec:
+        """The static spec the pipeline compiles against — live counts baked
+        in when specialize_counts (recompiles when a count changes)."""
+        if not self.specialize_counts:
+            return self.base_spec
+        return self.base_spec.specialized(self.builder._prim_counts,
+                                          self.builder._light_counts)
 
     @property
     def scene_data(self):

@@ -54,10 +54,10 @@ def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
     result = jnp.zeros_like(pts_f)
     dummy_normal = jnp.broadcast_to(
         jnp.asarray([1.0, 0.0, 0.0], jnp.float32), pts_f.shape)
-    for ltype, cap in spec.lights:
-        count = data.light_counts[ltype.name]
-        for slot in range(cap):
-            live = slot < count
+    for ltype, cap, n, static in spec.light_bounds():
+        count = None if static else data.light_counts[ltype.name]
+        for slot in range(n):
+            live = jnp.asarray(True) if static else slot < count
             params = jax.tree.map(lambda a: a[slot],
                                   data.lights[ltype.name])
             radiance, ldir, ldist = ltype.sample(params, pts_f, dummy_normal)
@@ -69,7 +69,8 @@ def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
                 * radiance
             contrib = l_in * TAU_SCATTERING \
                 * henyey_greenstein_phase(ldir, dirs_f)[..., None]
-            result = result + jnp.where(live, contrib, 0.0)
+            result = result + (contrib if static
+                               else jnp.where(live, contrib, 0.0))
     return result.reshape(vz, vy, vx, 3)
 
 

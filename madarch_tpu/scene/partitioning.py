@@ -60,14 +60,21 @@ def all_slot_dists(spec: SceneSpec, data: SceneData, p):
     """Distances from one point to every capacity slot (dead slots ->
     max_dist), concatenated in global-index order; f32[total_capacity]."""
     out = []
-    for ptype, cap in spec.prims:
+    for ptype, cap, n, static in spec.prim_bounds():
         if cap == 0:
             continue
-        params = data.prims[ptype.name]
-        count = data.prim_counts[ptype.name]
+        if n == 0:
+            out.append(jnp.full((cap,), spec.max_dist, jnp.float32))
+            continue
+        params = jax.tree.map(lambda a: a[:n], data.prims[ptype.name])
         dists = jax.vmap(lambda prm: ptype.sdf(prm, p))(params)
-        valid = jnp.arange(cap) < count
-        out.append(jnp.where(valid, dists, spec.max_dist))
+        if not static:
+            count = data.prim_counts[ptype.name]
+            dists = jnp.where(jnp.arange(n) < count, dists, spec.max_dist)
+        if n < cap:  # keep capacity-block global-index layout
+            dists = jnp.concatenate(
+                [dists, jnp.full((cap - n,), spec.max_dist, jnp.float32)])
+        out.append(dists)
     return jnp.concatenate(out)
 
 

@@ -50,6 +50,34 @@ class SceneSpec:
     max_dist: float = 20.0
     max_materials: int = MAX_MATERIALS
     partitioning: object = None  # Optional[PartitioningSettings]
+    # Static *live* counts (aligned with prims/lights order).  When set, the
+    # compiled scene functions iterate only over live slots with no dynamic
+    # count masking — the analogue of the reference recompiling specialized
+    # GLSL for the scene at hand (madarch-scenes.adb:1189-1266).  The caller
+    # (Renderer) re-specializes (recompiles) whenever a count changes.
+    live_prims: Tuple[int, ...] = None
+    live_lights: Tuple[int, ...] = None
+
+    def specialized(self, prim_counts: dict,
+                    light_counts: dict) -> "SceneSpec":
+        """Bake live counts (name->int dicts) in as static loop bounds."""
+        return dataclasses.replace(
+            self,
+            live_prims=tuple(min(cap, int(prim_counts.get(pt.name, cap)))
+                             for pt, cap in self.prims),
+            live_lights=tuple(min(cap, int(light_counts.get(lt.name, cap)))
+                              for lt, cap in self.lights))
+
+    def prim_bounds(self):
+        """Yield (ptype, capacity, static loop bound, counts_are_static)."""
+        for k, (ptype, cap) in enumerate(self.prims):
+            n = cap if self.live_prims is None else self.live_prims[k]
+            yield ptype, cap, n, self.live_prims is not None
+
+    def light_bounds(self):
+        for k, (ltype, cap) in enumerate(self.lights):
+            n = cap if self.live_lights is None else self.live_lights[k]
+            yield ltype, cap, n, self.live_lights is not None
 
     def prim_offset(self, ptype: PrimitiveType) -> int:
         """Start of this type's global-index block (capacity-based)."""
@@ -113,12 +141,15 @@ class SceneData:
 # ---------------------------------------------------------------------------
 
 def _masked_type_dists(spec: SceneSpec, data: SceneData, ptype: PrimitiveType,
-                       cap: int, p):
-    """Distances to all capacity slots of one type; empty slots -> max_dist."""
-    params = data.prims[ptype.name]
-    count = data.prim_counts[ptype.name]
+                       n: int, static: bool, p):
+    """Distances to the first n slots of one type; with dynamic counts
+    (static=False) dead slots -> max_dist."""
+    params = jax.tree.map(lambda a: a[:n], data.prims[ptype.name])
     dists = jax.vmap(lambda prm: ptype.sdf(prm, p))(params)
-    valid = jnp.arange(cap) < count
+    if static:
+        return dists
+    count = data.prim_counts[ptype.name]
+    valid = jnp.arange(n) < count
     return jnp.where(valid, dists, spec.max_dist)
 
 
@@ -126,11 +157,11 @@ def scene_sdf(spec: SceneSpec, data: SceneData, p):
     """closest_primitive: min distance over every live primitive, capped at
     max_dist (generated GLSL, madarch-scenes.adb:602-629)."""
     closest = jnp.asarray(spec.max_dist, jnp.float32)
-    for ptype, cap in spec.prims:
-        if cap == 0:
+    for ptype, cap, n, static in spec.prim_bounds():
+        if n == 0:
             continue
         closest = jnp.minimum(closest, jnp.min(
-            _masked_type_dists(spec, data, ptype, cap, p)))
+            _masked_type_dists(spec, data, ptype, n, static, p)))
     return closest
 
 
@@ -140,10 +171,10 @@ def scene_sdf_info(spec: SceneSpec, data: SceneData, p):
     -1 when nothing is closer than max_dist."""
     closest = jnp.asarray(spec.max_dist, jnp.float32)
     index = jnp.asarray(-1, jnp.int32)
-    for ptype, cap in spec.prims:
-        if cap == 0:
+    for ptype, cap, n, static in spec.prim_bounds():
+        if n == 0:
             continue
-        dists = _masked_type_dists(spec, data, ptype, cap, p)
+        dists = _masked_type_dists(spec, data, ptype, n, static, p)
         local_best = jnp.argmin(dists)
         local_dist = dists[local_best]
         better = local_dist < closest
@@ -159,8 +190,8 @@ def primitive_info(spec: SceneSpec, data: SceneData, index, p):
     evaluated at hit point p (madarch-scenes.adb:676-729)."""
     normal = jnp.zeros((3,), jnp.float32)
     material_id = jnp.asarray(0, jnp.int32)
-    for ptype, cap in spec.prims:
-        if cap == 0:
+    for ptype, cap, n, static in spec.prim_bounds():
+        if n == 0:
             continue
         off = spec.prim_offset(ptype)
         in_type = (index >= off) & (index < off + cap)
@@ -181,10 +212,10 @@ def sample_light(spec: SceneSpec, data: SceneData, index, p, n):
     ldir = jnp.zeros((3,), jnp.float32)
     ldist = jnp.asarray(1.0, jnp.float32)
     offset = jnp.asarray(0, jnp.int32)
-    for ltype, cap in spec.lights:
-        if cap == 0:
+    for ltype, cap, n, static in spec.light_bounds():
+        if n == 0:
             continue
-        count = data.light_counts[ltype.name]
+        count = n if static else data.light_counts[ltype.name]
         in_type = (index >= offset) & (index < offset + count)
         local = jnp.clip(index - offset, 0, cap - 1)
         params = jax.tree.map(lambda a: a[local], data.lights[ltype.name])
