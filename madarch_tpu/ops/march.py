@@ -116,7 +116,7 @@ def _scene_dist(plan: ScenePlan, params_ref, counts_ref, px, py, pz,
 # same layout).  Outputs are f32 (hit masks as 0/1).
 # ---------------------------------------------------------------------------
 
-def _raycast_kernel(plan, max_dist, eps, max_steps,
+def _raycast_kernel(plan, max_dist, eps, max_steps, omega,
                     counts_ref, params_ref, ox, oy, oz, dx, dy, dz, en,
                     t_out, hit_out):
     shape = ox.shape
@@ -126,30 +126,41 @@ def _raycast_kernel(plan, max_dist, eps, max_steps,
                            max_dist)
 
     # Masks are carried as f32 0/1: Mosaic cannot carry i1 vectors through
-    # a while loop.
+    # a while loop.  Over-relaxed stepping (render/raymarch.py::RELAXATION):
+    # exact thanks to the non-overlap backtrack.
     def cond(state):
-        step, _, active = state
+        step, _, active = state[:3]
         return jnp.logical_and(step < max_steps, jnp.max(active) > 0.5)
 
     def body(state):
-        step, t, active = state
+        step, t, active, prev_r, step_len, om = state
         d = scene(ox[:] + t * dx[:], oy[:] + t * dy[:], oz[:] + t * dz[:])
-        still = active * jnp.where(d < eps, 0.0, 1.0)
-        t = t + d * still
+        fail = jnp.where(om > 1.0, 1.0, 0.0) \
+            * jnp.where(jnp.abs(d) + prev_r <= step_len, 1.0, 0.0)
+        hit = (1.0 - fail) * jnp.where(d < eps, 1.0, 0.0)
+        new_step = fail * (step_len * (1.0 - omega)) \
+            + (1.0 - fail) * (d * om)
+        om = jnp.where(fail > 0.5, 1.0, om)
+        still = active * (1.0 - hit)
+        t = t + new_step * still
+        prev_r = jnp.where(still > 0.5, jnp.abs(d), prev_r)
+        step_len = jnp.where(still > 0.5, new_step, step_len)
         still = still * jnp.where(t < max_dist, 1.0, 0.0)
-        return step + 1, t, still
+        return step + 1, t, still, prev_r, step_len, om
 
     active0 = en[:]
-    _, t, _ = jax.lax.while_loop(
+    _, t, _, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.zeros(shape, jnp.float32), active0))
+        (jnp.int32(0), jnp.zeros(shape, jnp.float32), active0,
+         jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+         jnp.full(shape, omega, jnp.float32)))
     d_end = scene(ox[:] + t * dx[:], oy[:] + t * dy[:], oz[:] + t * dz[:])
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0)
     t_out[:] = t
     hit_out[:] = hit * active0
 
 
-def _visibility_kernel(plan, max_dist, eps, max_steps,
+def _visibility_kernel(plan, max_dist, eps, max_steps, omega,
                        counts_ref, params_ref, ox, oy, oz, dx, dy, dz, mx,
                        en, vis_out):
     shape = ox.shape
@@ -159,24 +170,34 @@ def _visibility_kernel(plan, max_dist, eps, max_steps,
                            max_dist)
 
     def cond(state):
-        step, _, active, _ = state
+        step, _, active = state[:3]
         return jnp.logical_and(step < max_steps, jnp.max(active) > 0.5)
 
     def body(state):
-        step, t, active, blocked = state
+        step, t, active, blocked, prev_r, step_len, om = state
         d = scene(ox[:] + t * dx[:], oy[:] + t * dy[:], oz[:] + t * dz[:])
-        hit = jnp.where(d < eps, 1.0, 0.0)
+        fail = jnp.where(om > 1.0, 1.0, 0.0) \
+            * jnp.where(jnp.abs(d) + prev_r <= step_len, 1.0, 0.0)
+        hit = (1.0 - fail) * jnp.where(d < eps, 1.0, 0.0)
         blocked = jnp.maximum(blocked, active * hit)
+        new_step = fail * (step_len * (1.0 - omega)) \
+            + (1.0 - fail) * (d * om)
+        om = jnp.where(fail > 0.5, 1.0, om)
         still = active * (1.0 - hit)
-        t = t + d * still
+        t = t + new_step * still
+        prev_r = jnp.where(still > 0.5, jnp.abs(d), prev_r)
+        step_len = jnp.where(still > 0.5, new_step, step_len)
         still = still * jnp.where(t < mx[:], 1.0, 0.0)
-        return step + 1, t, still, blocked
+        return step + 1, t, still, blocked, prev_r, step_len, om
 
     t0 = jnp.zeros(shape, jnp.float32)
     active0 = en[:] * jnp.where(t0 < mx[:], 1.0, 0.0)
-    _, _, _, blocked = jax.lax.while_loop(
+    _, _, _, blocked, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, active0,
-                     jnp.zeros(shape, jnp.float32)))
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.full(shape, omega, jnp.float32)))
     vis_out[:] = 1.0 - blocked
 
 
@@ -259,7 +280,7 @@ def _interpret():
 
 
 def pallas_raycast(plan, params_vec, counts, origins, dirs, max_dist, *,
-                   eps=EPSILON, max_steps=300, enabled=None):
+                   eps=EPSILON, max_steps=300, enabled=None, omega=1.6):
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
     o = [_to_rows(origins[:, i], n_pad, 0.0) for i in range(3)]
@@ -269,7 +290,7 @@ def pallas_raycast(plan, params_vec, counts, origins, dirs, max_dist, *,
     en = _to_rows(en, n_pad, 0.0)
 
     kern = partial(_raycast_kernel, plan, float(max_dist), float(eps),
-                   int(max_steps))
+                   int(max_steps), float(omega))
     t, hit = pl.pallas_call(
         kern,
         grid=grid,
@@ -286,7 +307,7 @@ def pallas_raycast(plan, params_vec, counts, origins, dirs, max_dist, *,
 
 
 def pallas_visibility(plan, params_vec, counts, origins, dirs, max_dists, *,
-                      eps=EPSILON, max_steps=300, enabled=None):
+                      eps=EPSILON, max_steps=300, enabled=None, omega=1.6):
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
     o = [_to_rows(origins[:, i], n_pad, 0.0) for i in range(3)]
@@ -298,7 +319,7 @@ def pallas_visibility(plan, params_vec, counts, origins, dirs, max_dists, *,
     en = _to_rows(en, n_pad, 0.0)
 
     kern = partial(_visibility_kernel, plan, float(max_dists_bound(max_dists)),
-                   float(eps), int(max_steps))
+                   float(eps), int(max_steps), float(omega))
     vis = pl.pallas_call(
         kern,
         grid=grid,
