@@ -212,10 +212,10 @@ def sample_light(spec: SceneSpec, data: SceneData, index, p, n):
     ldir = jnp.zeros((3,), jnp.float32)
     ldist = jnp.asarray(1.0, jnp.float32)
     offset = jnp.asarray(0, jnp.int32)
-    for ltype, cap, n, static in spec.light_bounds():
-        if n == 0:
+    for ltype, cap, nlive, static in spec.light_bounds():
+        if nlive == 0:
             continue
-        count = n if static else data.light_counts[ltype.name]
+        count = nlive if static else data.light_counts[ltype.name]
         in_type = (index >= offset) & (index < offset + count)
         local = jnp.clip(index - offset, 0, cap - 1)
         params = jax.tree.map(lambda a: a[local], data.lights[ltype.name])
@@ -287,6 +287,10 @@ class SceneBuilder:
     # -- lights --
     def add_light(self, ltype: LightType, **fields) -> int:
         idx = self._light_counts[ltype.name]
+        cap = dict((lt.name, c) for lt, c in self.spec.lights)[ltype.name]
+        if idx >= cap:
+            raise ValueError(
+                f"capacity exceeded for {ltype.name} (cap={cap})")
         self._light_counts[ltype.name] = idx + 1
         self.set_light(ltype, idx, **fields)
         return idx
@@ -304,6 +308,10 @@ class SceneBuilder:
         return idx
 
     def set_material(self, index: int, albedo, metallic, roughness):
+        if not 0 <= index < self.spec.max_materials:
+            raise ValueError(
+                f"material index {index} out of range "
+                f"(max_materials={self.spec.max_materials})")
         self._albedo[index] = albedo
         self._metallic[index] = metallic
         self._roughness[index] = roughness

@@ -100,6 +100,55 @@ def test_sample_light_dispatch():
     assert np.isclose(ldist2, expected_dist, rtol=1e-5)
 
 
+def test_sample_light_passes_surface_normal_through():
+    # A user light whose radiance depends on the surface normal: catches the
+    # loop-bound shadowing of the ``n`` argument (round-1 defect).
+    normal_lit = L.make_light(
+        "normal_lit",
+        fields=(("position", P.VEC3), ("color", P.VEC3)),
+        sample=lambda params, pos, normal: (
+            params["color"] * vm_dot(normal, normal),  # needs a real vec3
+            (params["position"] - pos)
+            / jnp.linalg.norm(params["position"] - pos),
+            jnp.linalg.norm(params["position"] - pos)),
+        position=lambda params: params["position"])
+    spec = SceneSpec(prims=((P.Sphere, 2),), lights=((normal_lit, 2),))
+    b = SceneBuilder(spec)
+    b.add_light(normal_lit, position=(0.0, 3.0, 0.0), color=(1.0, 1.0, 1.0))
+    data = b.device_data()
+    p = jnp.zeros((3,), jnp.float32)
+    n = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    rad, _, _ = sample_light(spec, data, jnp.int32(0), p, n)
+    np.testing.assert_allclose(rad, [1.0, 1.0, 1.0], atol=1e-6)
+
+
+def vm_dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def test_add_light_capacity_check():
+    spec = make_spec()
+    b = SceneBuilder(spec)
+    b.add_light(L.PointLight, position=(0, 1, 0), color=(1, 1, 1))
+    b.add_light(L.PointLight, position=(0, 2, 0), color=(1, 1, 1))
+    try:
+        b.add_light(L.PointLight, position=(0, 3, 0), color=(1, 1, 1))
+        assert False, "expected capacity error"
+    except ValueError as e:
+        assert "capacity" in str(e)
+
+
+def test_set_material_bounds_check():
+    spec = make_spec()
+    b = SceneBuilder(spec)
+    for bad in (-1, spec.max_materials):
+        try:
+            b.set_material(bad, (1, 0, 0), 0.0, 0.5)
+            assert False, "expected bounds error"
+        except ValueError as e:
+            assert "out of range" in str(e)
+
+
 def test_material_lookup():
     spec, data = make_scene()
     albedo, metallic, roughness = material_lookup(data, jnp.int32(1))
