@@ -223,6 +223,71 @@ def radiance_mip1(settings: ProbeSettings, atlas):
 
 
 # ---------------------------------------------------------------------------
+# Matmul atlas sampling: texture gathers as MXU one-hot contractions.
+#
+# XLA's gather on TPU is scalar-unit bound; a frame samples the probe atlases
+# tens of millions of times, which dominated round-1 shading.  The TPU-native
+# formulation: bilinear lookup inside a res×res tile is a dot product of a
+# [res²] weight vector (4 nonzeros) with the tile's texels, so a batch of N
+# lookups against ALL P tiles at once is one [N, res²] × [res², P·3] matmul —
+# dense, MXU-shaped, no gathers anywhere.  Per-probe selection afterwards is
+# a compare-weighted reduction over the (small) probe axis.
+# ---------------------------------------------------------------------------
+
+def bilinear_tile_weight_factors(ray_id, res: int):
+    """Per-axis bilinear weights (Wy [N, res], Wx [N, res]) of a tile-local
+    lookup at ``ray_id`` [N, 2], matching sample_tile_bilinear's half-texel
+    clamp.  The full weight matrix is the outer product Wy ⊗ Wx."""
+    rid = jnp.clip(ray_id, 0.5 / res, 1.0 - 0.5 / res)
+
+    def axis_w(f):
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, res - 1)
+        i1 = jnp.minimum(i0 + 1, res - 1)
+        w1 = (f - i0)[..., None]
+        lanes = jnp.arange(res)
+        return (jnp.where(lanes == i0[..., None], 1.0 - w1, 0.0)
+                + jnp.where(lanes == i1[..., None], w1, 0.0))
+
+    wx = axis_w(rid[..., 0] * res - 0.5)
+    wy = axis_w(rid[..., 1] * res - 0.5)
+    return wy, wx
+
+
+def sample_all_tiles_bilinear(settings: ProbeSettings, atlas, ray_id,
+                              res: int):
+    """Bilinear sample of EVERY probe tile at each query: f32[N, P, 3].
+
+    One [N, res²] × [res², P·3] matmul replaces N·P·4 gathers; callers then
+    combine over the probe axis with their own per-probe weights.
+    """
+    px, py = settings.probe_count
+    n_tiles = px * py
+    tiles = atlas_to_tiles(settings, atlas, res)        # [P, res², 3]
+    flat = tiles.transpose(1, 0, 2).reshape(res * res, n_tiles * 3)
+    wy, wx = bilinear_tile_weight_factors(ray_id, res)  # [N,res] each
+    w = (wy[..., :, None] * wx[..., None, :]).reshape(
+        ray_id.shape[:-1] + (res * res,))
+    vals = jnp.dot(w, flat, preferred_element_type=jnp.float32)
+    return vals.reshape(ray_id.shape[:-1] + (n_tiles, 3))
+
+
+def probe_one_hot_combine(n_tiles: int, pids, weights, vals):
+    """Σ_k weights[k]·vals[:, pids[k]] without gathers: pids [K, N] int,
+    weights [K, N], vals [N, P, 3] -> f32[N, 3].
+
+    Builds the [N, P] scatter of per-corner weights with P·K compares (the
+    one-hot trick) and contracts over the probe axis.
+    """
+    w_all = jnp.zeros(vals.shape[:-1], vals.dtype)      # [N, P]
+    probe_ids = jnp.arange(n_tiles)
+    for k in range(pids.shape[0]):
+        w_all = w_all + jnp.where(probe_ids == pids[k][..., None],
+                                  weights[k][..., None], 0.0)
+    return jnp.einsum("np,npc->nc", w_all, vals,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # Irradiance integration pass (update_probe_irradiance.glsl)
 # ---------------------------------------------------------------------------
 
@@ -245,12 +310,16 @@ def integrate_irradiance(settings: ProbeSettings, radiance_atlas):
 # ---------------------------------------------------------------------------
 
 def sample_irradiance(settings: ProbeSettings, sdf_b, irr_atlas, pos, normal,
-                      *, enabled=None, max_steps=300):
+                      *, enabled=None, max_steps=300, method="matmul",
+                      vis8=None):
     """8-corner trilinear, backface- and visibility-weighted probe lookup.
 
     pos/normal: f32[N,3].  Runs the 8·N visibility raycasts as one batched
-    march.  Returns f32[N,3] irradiance (sqrt-encode blend then square, as in
-    the reference).
+    march (or consumes precomputed ``vis8`` f32[8,N] from a fused geometry
+    kernel).  Returns f32[N,3] irradiance (sqrt-encode blend then square, as
+    in the reference).  ``method``: 'matmul' contracts against all tiles on
+    the MXU (fast path); 'gather' is the reference-shaped texture fetch kept
+    for parity tests.
     """
     n_pts = pos.shape[0]
     spacing = jnp.asarray(settings.grid_spacing, jnp.float32)
@@ -276,17 +345,21 @@ def sample_irradiance(settings: ProbeSettings, sdf_b, irr_atlas, pos, normal,
     angle = (dot(dir_to_probe, normal[None]) + 1.0) * 0.5
     weight = angle * angle + 0.2
 
-    # batched visibility march for all 8 corners
-    origins = jnp.broadcast_to(pos[None] + normal[None] * SURFACE_OFFSET,
-                               (8, n_pts, 3)).reshape(-1, 3)
-    vis_dirs = dir_to_probe.reshape(-1, 3)
-    vis_max = (probe_dist - SURFACE_OFFSET).reshape(-1)
-    vis_enabled = None
-    if enabled is not None:
-        vis_enabled = jnp.broadcast_to(enabled[None], (8, n_pts)).reshape(-1)
-    vis = raycast_visibility(sdf_b, origins, vis_dirs, vis_max,
-                             enabled=vis_enabled,
-                             max_steps=max_steps).reshape(8, n_pts)
+    # batched visibility march for all 8 corners (or kernel-precomputed)
+    if vis8 is not None:
+        vis = vis8
+    else:
+        origins = jnp.broadcast_to(pos[None] + normal[None] * SURFACE_OFFSET,
+                                   (8, n_pts, 3)).reshape(-1, 3)
+        vis_dirs = dir_to_probe.reshape(-1, 3)
+        vis_max = (probe_dist - SURFACE_OFFSET).reshape(-1)
+        vis_enabled = None
+        if enabled is not None:
+            vis_enabled = jnp.broadcast_to(enabled[None],
+                                           (8, n_pts)).reshape(-1)
+        vis = raycast_visibility(sdf_b, origins, vis_dirs, vis_max,
+                                 enabled=vis_enabled,
+                                 max_steps=max_steps).reshape(8, n_pts)
     weight = weight * vis
 
     # crush tiny weights below 0.2: w -> w³ / 0.04
@@ -301,14 +374,22 @@ def sample_irradiance(settings: ProbeSettings, sdf_b, irr_atlas, pos, normal,
 
     # atlas lookup
     pid = grid_position_to_probe_id(settings, offseted)         # [8,N]
-    tx, ty = probe_id_to_tile(settings, pid)
     irr_ray_id = dir_to_ray_id(normal)                          # [N,2]
-    irr_ray_id8 = jnp.broadcast_to(irr_ray_id[None], (8, n_pts, 2))
-    vals = sample_tile_bilinear(irr_atlas, tx.reshape(-1), ty.reshape(-1),
-                                irr_ray_id8.reshape(-1, 2), ir)
-    # 1e-12 floor: sqrt' is infinite at 0 and the atlas starts all-zero
-    vals = jnp.sqrt(jnp.maximum(vals, 1e-12)).reshape(8, n_pts, 3)
-
     total_w = jnp.maximum(jnp.sum(weight, axis=0), 1e-9)
-    irr = jnp.sum(vals * weight[..., None], axis=0) / total_w[..., None]
+    # 1e-12 floor: sqrt' is infinite at 0 and the atlas starts all-zero
+    if method == "matmul":
+        px, py = settings.probe_count
+        vals_all = sample_all_tiles_bilinear(settings, irr_atlas,
+                                             irr_ray_id, ir)    # [N,P,3]
+        vals_all = jnp.sqrt(jnp.maximum(vals_all, 1e-12))
+        irr = probe_one_hot_combine(px * py, pid, weight, vals_all) \
+            / total_w[..., None]
+    else:
+        tx, ty = probe_id_to_tile(settings, pid)
+        irr_ray_id8 = jnp.broadcast_to(irr_ray_id[None], (8, n_pts, 2))
+        vals = sample_tile_bilinear(irr_atlas, tx.reshape(-1),
+                                    ty.reshape(-1),
+                                    irr_ray_id8.reshape(-1, 2), ir)
+        vals = jnp.sqrt(jnp.maximum(vals, 1e-12)).reshape(8, n_pts, 3)
+        irr = jnp.sum(vals * weight[..., None], axis=0) / total_w[..., None]
     return irr * irr

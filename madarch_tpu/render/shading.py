@@ -138,11 +138,14 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
     best_dir = probe_to_spec[idx]                              # [N,3]
 
     pid = probes_mod.grid_position_to_probe_id(settings, best_offseted)
-    tx, ty = probes_mod.probe_id_to_tile(settings, pid)
     rad_ray_id = probes_mod.dir_to_ray_id(best_dir)
     mip1 = probes_mod.radiance_mip1(settings, rad_atlas)
-    radiance = probes_mod.sample_tile_bilinear(
-        mip1, tx, ty, rad_ray_id, settings.radiance_resolution // 2)
+    # best-probe lookup as an all-tiles MXU contraction + one-hot select
+    px_c, py_c = settings.probe_count
+    vals_all = probes_mod.sample_all_tiles_bilinear(
+        settings, mip1, rad_ray_id, settings.radiance_resolution // 2)
+    radiance = probes_mod.probe_one_hot_combine(
+        px_c * py_c, pid[None], jnp.ones((1, n_pts), jnp.float32), vals_all)
 
     if cfg.add_indirect_specular:
         _, spec_metallic, spec_roughness = material_lookup(data, spec_mid)

@@ -104,3 +104,40 @@ def test_sample_irradiance_open_scene():
     out = jax.jit(lambda p, n: pb.sample_irradiance(
         SETTINGS, floor, irr_atlas, p, n))(pos, normal)
     np.testing.assert_allclose(out, 0.36, atol=1e-5)
+
+
+def test_matmul_atlas_sampling_matches_gather():
+    """The MXU one-hot-matmul atlas path must match the texture-shaped
+    gather path bit-for-bit-ish (both are f32 bilinear)."""
+    rng = np.random.RandomState(7)
+    s = SETTINGS
+    atlas = jnp.asarray(
+        rng.rand(*s.irradiance_atlas_shape).astype(np.float32))
+    n = 200
+    pid = jnp.asarray(rng.randint(0, s.num_probes, (n,)), jnp.int32)
+    rid = jnp.asarray(rng.rand(n, 2), jnp.float32)
+    tx, ty = pb.probe_id_to_tile(s, pid)
+    ref = pb.sample_tile_bilinear(atlas, tx, ty, rid,
+                                  s.irradiance_resolution)
+    vals = pb.sample_all_tiles_bilinear(s, atlas, rid,
+                                        s.irradiance_resolution)
+    px, py = s.probe_count
+    out = pb.probe_one_hot_combine(px * py, pid[None],
+                                   jnp.ones((1, n), jnp.float32), vals)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sample_irradiance_matmul_matches_gather():
+    rng = np.random.RandomState(8)
+    s = SETTINGS
+    atlas = jnp.asarray(
+        rng.rand(*s.irradiance_atlas_shape).astype(np.float32))
+    n = 100
+    pos = jnp.asarray(rng.uniform(0.0, 3.0, (n, 3)), jnp.float32)
+    nrm = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    sdf_b = lambda p: jnp.full(p.shape[:-1], 10.0)  # empty scene
+
+    a = pb.sample_irradiance(s, sdf_b, atlas, pos, nrm, method="matmul")
+    b = pb.sample_irradiance(s, sdf_b, atlas, pos, nrm, method="gather")
+    np.testing.assert_allclose(a, b, atol=1e-5)
