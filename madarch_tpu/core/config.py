@@ -98,6 +98,12 @@ class ShadeConfig:
     ambient_occlusion_steps: int = 3    # M_AMBIENT_OCCLUSION_STEPS
     render_volumetrics: bool = False    # M_RENDER_VOLUMETRICS
     max_march_steps: int = 300
+    # Differentiable shading: re-attach hit-point gradients through the
+    # implicit function theorem and compute normals as autodiff SDF
+    # gradients.  Off (the default) enables the fused geometry kernel on
+    # TPU — the reference renderer is not differentiable at all, so plain
+    # rendering takes the fast path and training opts in.
+    differentiable: bool = False
 
 
 # Pass-specific configs as wired by Renderers.Create: the probe-radiance pass
@@ -113,7 +119,8 @@ PROBE_SHADE_CONFIG = ShadeConfig(
 
 
 def screen_shade_config(volumetrics_enabled: bool,
-                        max_march_steps: int = 300) -> ShadeConfig:
+                        max_march_steps: int = 300,
+                        differentiable: bool = False) -> ShadeConfig:
     """Screen-pass macro set (madarch-renderers.adb:137-143)."""
     return ShadeConfig(
         direct_specular=True,
@@ -122,4 +129,5 @@ def screen_shade_config(volumetrics_enabled: bool,
         ambient_occlusion_steps=3,
         render_volumetrics=volumetrics_enabled,
         max_march_steps=max_march_steps,
+        differentiable=differentiable,
     )

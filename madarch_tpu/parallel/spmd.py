@@ -84,6 +84,14 @@ def make_train_step(spec: SceneSpec, probes: ProbeSettings,
     Returns a jitted step: (data, camera, state, target) ->
     (loss, new_data, new_state).
     """
+    import dataclasses
+
+    # training renders on the differentiable path (IFT hit reattachment +
+    # autodiff normals); plain rendering keeps the fused-kernel fast path.
+    if screen_cfg is None:
+        screen_cfg = screen_shade_config(vol.enabled)
+    screen_cfg = dataclasses.replace(screen_cfg, differentiable=True)
+    probe_cfg = dataclasses.replace(probe_cfg, differentiable=True)
     shard = ray_sharder(mesh)
 
     @jax.jit

@@ -48,11 +48,33 @@ class SceneCtx:
                 and data.grid is None):
             self.params_vec, self.counts = march_ops.pack_params(
                 self.plan, data_sg)
+            self.lpos_vec, self.n_light_slots = \
+                march_ops.pack_light_positions(spec, data_sg)
         else:
             # large scenes march through the grid; the grid-aware Pallas
             # kernel is future work — XLA path meanwhile
             self.plan = None
+            self.lpos_vec, self.n_light_slots = None, 0
 
     @property
     def use_kernel(self) -> bool:
         return self.plan is not None
+
+    @property
+    def fused_available(self) -> bool:
+        """True when the fused geometry kernel can serve this scene: kernel
+        path on and every live light has a vec3 'position' field (the
+        shadow-ray target)."""
+        return self.plan is not None and self.lpos_vec is not None
+
+    def geometry(self, origins, dirs, probes, cfg, enabled=None):
+        """Run the fused march+classify+shadow+probe-visibility kernel."""
+        from madarch_tpu.render.raymarch import SURFACE_OFFSET
+        return march_ops.pallas_geometry(
+            self.plan, self.params_vec, self.counts, self.lpos_vec,
+            self.n_light_slots, origins, dirs, self.max_dist,
+            probe_spacing=probes.grid_spacing,
+            probe_dims=probes.grid_dimensions,
+            surface_offset=SURFACE_OFFSET,
+            ao_steps=cfg.ambient_occlusion_steps,
+            max_steps=cfg.max_march_steps, enabled=enabled)

@@ -6,10 +6,18 @@ indirect (diffuse always; specular per ShadeConfig mode) × ambient occlusion,
 sky gradient on miss.  The volumetric composite is applied by the caller
 (screen pass) since it needs the scattering texture.
 
-All marches run on stop-gradient scene data; gradients re-enter through the
-implicit-function-theorem hit reattachment and through the differentiable
-shading computation, making the whole shade differentiable w.r.t. primitive,
-material, light, and camera parameters.
+Two execution paths, selected by ``cfg.differentiable``:
+
+- **fused** (default on TPU): one ``pallas_geometry`` kernel per ray batch
+  returns hit distance, nearest-primitive index + material, FD normal, AO,
+  per-light penumbra factors and the 8 probe-visibility bits — all marches
+  VMEM-resident (the reference's one-fragment-shader-does-everything hot
+  path, render_probes.glsl:246-292); XLA then does materials, BRDF and the
+  MXU atlas sampling.
+- **differentiable**: marches run on stop-gradient scene data and gradients
+  re-enter through the implicit-function-theorem hit reattachment and
+  autodiff SDF-gradient normals, making the whole shade differentiable
+  w.r.t. primitive, material, light, and camera parameters.
 """
 from __future__ import annotations
 
@@ -25,14 +33,25 @@ from madarch_tpu.render.raymarch import (SURFACE_OFFSET, ambient_occlusion,
                                          attach_hit_gradient, raycast,
                                          raycast_visibility, scene_normal)
 from madarch_tpu.scene.scene import (SceneData, SceneSpec, material_lookup,
-                                     primitive_info, scene_sdf,
-                                     scene_sdf_info)
+                                     primitive_info, primitive_material_id,
+                                     scene_sdf, scene_sdf_info)
 
 
 def make_sdf_b(spec: SceneSpec, data: SceneData, *, stop_grad: bool):
     """Batched scene SDF closure f32[N,3] -> f32[N]."""
     d = jax.tree.map(lax.stop_gradient, data) if stop_grad else data
     return jax.vmap(lambda p: scene_sdf(spec, d, p))
+
+
+def _fused_ctx(sdf_b, cfg):
+    """The SceneCtx when the fused geometry kernel should serve this call
+    (non-differentiable shade + kernel-capable scene), else None."""
+    if callable(sdf_b):
+        return None
+    ctx = sdf_b
+    if cfg.differentiable or not ctx.fused_available:
+        return None
+    return ctx
 
 
 def sky_color(dirs):
@@ -42,23 +61,33 @@ def sky_color(dirs):
 
 
 def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
-               irr_atlas, rad_atlas, pos, normal, dirs, hit):
-    """Direct + indirect (+ specular) × AO for hit points; f32[N,3]."""
-    _, prim_index = jax.vmap(
-        lambda p: scene_sdf_info(spec, jax.tree.map(lax.stop_gradient, data),
-                                 p))(pos)
-    _, material_id = jax.vmap(
-        lambda i, p: primitive_info(spec, data, i, p))(prim_index, pos)
+               irr_atlas, rad_atlas, pos, normal, dirs, hit, geom=None):
+    """Direct + indirect (+ specular) × AO for hit points; f32[N,3].
+
+    ``geom``: optional fused-kernel outputs (material, AO, shadows,
+    probe visibility) — when absent they are recomputed in XLA.
+    """
+    if geom is not None:
+        material_id = geom["mid"]
+        shadows_by_slot = geom["shadows"]
+        vis8 = geom["vis8"]
+    else:
+        data_sg = jax.tree.map(lax.stop_gradient, data)
+        _, prim_index = jax.vmap(
+            lambda p: scene_sdf_info(spec, data_sg, p))(pos)
+        material_id = primitive_material_id(spec, data, prim_index)
+        shadows_by_slot = None
+        vis8 = None
     albedo, metallic, roughness = material_lookup(data, material_id)
 
     direct = direct_lighting(
         spec, data, sdf_b, pos, normal, dirs, albedo, metallic, roughness,
         compute_specular=cfg.direct_specular, enabled=hit,
-        max_steps=cfg.max_march_steps)
+        max_steps=cfg.max_march_steps, shadows_by_slot=shadows_by_slot)
 
     irradiance = probes_mod.sample_irradiance(
         probe_settings, sdf_b, irr_atlas, pos, normal, enabled=hit,
-        max_steps=cfg.max_march_steps)
+        max_steps=cfg.max_march_steps, vis8=vis8)
 
     specular_dir = reflect(dirs, normal)
     specular_col = jnp.zeros_like(pos)
@@ -83,9 +112,64 @@ def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
         irradiance, specular_col, -dirs, normal, specular_dir,
         albedo, metallic, roughness)
 
-    ao = ambient_occlusion(sdf_b, pos, normal,
-                           steps=cfg.ambient_occlusion_steps)
+    if geom is not None:
+        ao = geom["ao"]
+    else:
+        ao = ambient_occlusion(sdf_b, pos, normal,
+                               steps=cfg.ambient_occlusion_steps)
     return ao[..., None] * (direct + indirect)
+
+
+def _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
+                         spec_dir, *, enabled, need_vis=True):
+    """Shared secondary-ray geometry for the specular modes: raycast +
+    nearest-primitive info (+ probe visibility around the reflection hit).
+    Uses the fused kernel when available, else the XLA path.  Returns
+    (hit, spec_pos, spec_normal, spec_mid, vis8-or-None, shadows-or-None).
+    """
+    ctx = _fused_ctx(sdf_b, cfg)
+    if ctx is not None:
+        g = ctx.geometry(from_, spec_dir, probe_settings, cfg,
+                         enabled=enabled)
+        spec_pos = from_ + g["t"][:, None] * spec_dir
+        return (g["hit"], spec_pos, g["normal"], g["mid"], g["vis8"],
+                g["shadows"])
+
+    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
+                               enabled=enabled,
+                               max_steps=cfg.max_march_steps)
+    data_sg = jax.tree.map(lax.stop_gradient, data)
+    _, prim_index = jax.vmap(
+        lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
+    s_normal, s_mid = jax.vmap(
+        lambda i, p: primitive_info(spec, data, i, p))(prim_index, spec_pos)
+
+    vis = None
+    if need_vis:
+        n_pts = from_.shape[0]
+        settings = probe_settings
+        spacing = jnp.asarray(settings.grid_spacing, jnp.float32)
+        dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
+        grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
+        offsets = jnp.asarray(
+            [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+            jnp.int32)
+        offseted = jnp.clip(grid_pos[None] + offsets[:, None], 0, dims - 1)
+        probe_world = offseted.astype(jnp.float32) * spacing
+        to_probe = probe_world - spec_pos[None]
+        p_dist = jnp.maximum(jnp.linalg.norm(to_probe, axis=-1), 1e-6)
+        dir_to_probe = to_probe / p_dist[..., None]
+        vis_enabled = jnp.broadcast_to((enabled & hit)[None], (8, n_pts))
+        vis = raycast_visibility(
+            sdf_b,
+            jnp.broadcast_to(
+                spec_pos[None] + s_normal[None] * SURFACE_OFFSET,
+                (8, n_pts, 3)).reshape(-1, 3),
+            dir_to_probe.reshape(-1, 3),
+            (p_dist - SURFACE_OFFSET).reshape(-1),
+            enabled=vis_enabled.reshape(-1),
+            max_steps=cfg.max_march_steps).reshape(8, n_pts)
+    return hit, spec_pos, s_normal, s_mid, vis, None
 
 
 def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
@@ -100,15 +184,9 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
     dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
 
     from_ = pos + normal * SURFACE_OFFSET
-    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
-                               enabled=enabled,
-                               max_steps=cfg.max_march_steps)
-
-    data_sg = jax.tree.map(lax.stop_gradient, data)
-    _, prim_index = jax.vmap(
-        lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
-    spec_normal_v, spec_mid = jax.vmap(
-        lambda i, p: primitive_info(spec, data, i, p))(prim_index, spec_pos)
+    hit, spec_pos, spec_normal_v, spec_mid, vis, shadows = \
+        _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
+                             spec_dir, enabled=enabled)
 
     grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
     offsets = jnp.asarray(
@@ -121,15 +199,6 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
     probe_to_spec = probe_to_spec / p_dist[..., None]
 
     weight = dot(probe_to_spec, -spec_normal_v[None])          # [8,N]
-    vis_enabled = jnp.broadcast_to((enabled & hit)[None], (8, n_pts))
-    vis = raycast_visibility(
-        sdf_b,
-        jnp.broadcast_to(spec_pos[None] + spec_normal_v[None] * SURFACE_OFFSET,
-                         (8, n_pts, 3)).reshape(-1, 3),
-        (-probe_to_spec).reshape(-1, 3),
-        (p_dist - SURFACE_OFFSET).reshape(-1),
-        enabled=vis_enabled.reshape(-1),
-        max_steps=cfg.max_march_steps).reshape(8, n_pts)
     weight = weight * vis
 
     best = jnp.argmax(weight, axis=0)                          # [N]
@@ -153,7 +222,8 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
             spec, data, sdf_b, spec_pos, spec_normal_v, spec_dir,
             jnp.zeros((n_pts, 3), jnp.float32), spec_metallic,
             spec_roughness, compute_specular=cfg.direct_specular,
-            enabled=enabled & hit, max_steps=cfg.max_march_steps)
+            enabled=enabled & hit, max_steps=cfg.max_march_steps,
+            shadows_by_slot=shadows)
         radiance = radiance + highlight
 
     return jnp.where(hit[..., None], radiance, 0.0)
@@ -229,24 +299,20 @@ def compute_indirect_specular(spec, data, probe_settings, cfg, sdf_b,
     """Indirect specular mode 3 (render_probes.glsl:211-244): mirror — a
     full secondary shade (direct + irradiance-lit indirect) at the
     reflection hit; sky gradient on miss."""
-    n_pts = pos.shape[0]
     from_ = pos + normal * SURFACE_OFFSET
-    t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
-                               enabled=enabled,
-                               max_steps=cfg.max_march_steps)
-    data_sg = jax.tree.map(lax.stop_gradient, data)
-    _, idx = jax.vmap(lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
-    s_normal, s_mid = jax.vmap(
-        lambda i, p: primitive_info(spec, data, i, p))(idx, spec_pos)
+    hit, spec_pos, s_normal, s_mid, vis, shadows = \
+        _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
+                             spec_dir, enabled=enabled)
     s_albedo, s_metallic, s_roughness = material_lookup(data, s_mid)
 
     direct = direct_lighting(
         spec, data, sdf_b, spec_pos, s_normal, spec_dir, s_albedo,
         s_metallic, s_roughness, compute_specular=cfg.direct_specular,
-        enabled=enabled & hit, max_steps=cfg.max_march_steps)
+        enabled=enabled & hit, max_steps=cfg.max_march_steps,
+        shadows_by_slot=shadows)
     irradiance = probes_mod.sample_irradiance(
         probe_settings, sdf_b, irr_atlas, spec_pos, s_normal,
-        enabled=enabled & hit, max_steps=cfg.max_march_steps)
+        enabled=enabled & hit, max_steps=cfg.max_march_steps, vis8=vis)
     sec_spec_dir = reflect(spec_dir, s_normal)
     indirect = indirect_lighting(
         irradiance, jnp.zeros_like(spec_pos), -spec_dir, s_normal,
@@ -269,15 +335,22 @@ def pixel_color(spec: SceneSpec, data: SceneData,
     sdf_b = ctx  # march entry points accept the ctx (kernel fast path)
     sdf_b_diff = ctx.sdf_b_diff
 
-    t, hit, _ = raycast(sdf_b, origins, dirs, spec.max_dist,
-                        max_steps=cfg.max_march_steps)
-    t = attach_hit_gradient(sdf_b_diff, origins, dirs, t)
-    pos = origins + t[:, None] * dirs
-
-    normal = scene_normal(sdf_b_diff, pos)
+    geom = None
+    if _fused_ctx(ctx, cfg) is not None:
+        geom = ctx.geometry(origins, dirs, probe_settings, cfg)
+        t, hit = geom["t"], geom["hit"]
+        pos = origins + t[:, None] * dirs
+        normal = geom["normal"]
+    else:
+        t, hit, _ = raycast(sdf_b, origins, dirs, spec.max_dist,
+                            max_steps=cfg.max_march_steps)
+        if cfg.differentiable:
+            t = attach_hit_gradient(sdf_b_diff, origins, dirs, t)
+        pos = origins + t[:, None] * dirs
+        normal = scene_normal(sdf_b_diff, pos)
 
     lit = shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
-                     irr_atlas, rad_atlas, pos, normal, dirs, hit)
+                     irr_atlas, rad_atlas, pos, normal, dirs, hit, geom=geom)
     sky = sky_color(dirs)
     color = jnp.where(hit[..., None], lit, sky)
 

@@ -227,6 +227,15 @@ def sample_light(spec: SceneSpec, data: SceneData, index, p, n):
     return radiance, ldir, ldist
 
 
+def primitive_material_id(spec: SceneSpec, data: SceneData, index):
+    """material_id of a global primitive index via one packed capacity-order
+    table — the material half of primitive_info without evaluating every
+    type's normal (shading discards those)."""
+    table = jnp.concatenate([data.prims[pt.name]["material_id"]
+                             for pt, _ in spec.prims])
+    return table[jnp.clip(index, 0, table.shape[0] - 1)]
+
+
 def material_lookup(data: SceneData, material_id):
     mid = jnp.clip(material_id, 0, data.materials["albedo"].shape[0] - 1)
     return (data.materials["albedo"][mid],

@@ -24,7 +24,8 @@ PROBES = ProbeSettings(radiance_resolution=4, irradiance_resolution=2,
                        grid_spacing=(4.0, 4.0, 4.0))
 CFG = ShadeConfig(direct_specular=True, indirect_specular_mode=0,
                   add_indirect_specular=False, ambient_occlusion_steps=0,
-                  render_volumetrics=False, max_march_steps=64)
+                  render_volumetrics=False, max_march_steps=64,
+                  differentiable=True)
 W = H = 16
 
 

@@ -132,3 +132,76 @@ def test_planar_sdf_matches_vector_sdf():
         planar = ptype.sdf_planar(scal, pts[:, 0], pts[:, 1], pts[:, 2])
         np.testing.assert_allclose(planar, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=ptype.name)
+
+
+def test_geometry_kernel_parity(scene):
+    """The fused geometry kernel vs the XLA components it replaces."""
+    from madarch_tpu.scene.scene import (primitive_material_id,
+                                         scene_sdf_info)
+
+    spec, data, plan, vec, counts, sdf_b = scene
+    origins, dirs = rand_rays(96, seed=11)
+    lpos, n_lights = M.pack_light_positions(spec, data)
+    assert n_lights == 1
+    spacing = (2.0, 3.0, 3.0)
+    dims = (4, 3, 3)
+    g = M.pallas_geometry(plan, vec, counts, lpos, n_lights, origins, dirs,
+                          20.0, probe_spacing=spacing, probe_dims=dims,
+                          surface_offset=rm.SURFACE_OFFSET, ao_steps=3)
+
+    # primary march + hit classification
+    t_ref, hit_ref, pos_ref = rm.raycast(sdf_b, origins, dirs, 20.0)
+    np.testing.assert_array_equal(np.asarray(g["hit"]), np.asarray(hit_ref))
+    np.testing.assert_allclose(g["t"], t_ref, rtol=1e-5, atol=1e-5)
+
+    pos = np.asarray(origins + g["t"][:, None] * dirs)
+    _, idx_ref = jax.vmap(
+        lambda p: scene_sdf_info(spec, data, p))(jnp.asarray(pos))
+    idx_ref = jnp.where(g["hit"], idx_ref, -1)
+    np.testing.assert_array_equal(np.asarray(g["idx"]), np.asarray(idx_ref))
+    mid_ref = primitive_material_id(spec, data, jnp.maximum(g["idx"], 0))
+    hits = np.asarray(g["hit"])
+    np.testing.assert_array_equal(np.asarray(g["mid"])[hits],
+                                  np.asarray(mid_ref)[hits])
+
+    # FD normal vs autodiff-gradient normal (h=1e-3 tetrahedron)
+    n_ref = np.asarray(rm.scene_normal(sdf_b, jnp.asarray(pos)))
+    np.testing.assert_allclose(np.asarray(g["normal"])[hits], n_ref[hits],
+                               atol=2e-2)
+
+    # AO probes using the kernel's own normal
+    ao_ref = rm.ambient_occlusion(sdf_b, jnp.asarray(pos), g["normal"])
+    np.testing.assert_allclose(g["ao"], ao_ref, rtol=1e-5, atol=1e-5)
+
+    # per-light penumbra march (slot 0)
+    lp = jnp.asarray([0.0, 5.0, 3.0])
+    to_l = lp - pos
+    ldist = jnp.linalg.norm(to_l, axis=-1)
+    ldir = to_l / ldist[:, None]
+    ndotl = jnp.sum(g["normal"] * ldir, axis=-1)
+    sh_on = g["hit"] & (ndotl > 1e-3)
+    sh_ref = rm.softshadows(
+        sdf_b, jnp.asarray(pos) + g["normal"] * rm.SURFACE_OFFSET, ldir,
+        jnp.zeros(pos.shape[0]), ldist, 64.0, enabled=sh_on)
+    on = np.asarray(sh_on)
+    np.testing.assert_allclose(np.asarray(g["shadows"][0])[on],
+                               np.asarray(sh_ref)[on], rtol=1e-4, atol=1e-4)
+
+    # probe-visibility marches: corner 0 and corner 7
+    sp = np.asarray(spacing, np.float32)
+    dm = np.asarray(dims, np.int32)
+    cell = np.floor(pos / sp)
+    for k in (0, 7):
+        off = np.asarray([(k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1],
+                         np.float32)
+        corner = np.clip(cell + off, 0.0, (dm - 1).astype(np.float32))
+        world = corner * sp
+        to_p = world - pos
+        pdist = np.maximum(np.linalg.norm(to_p, axis=-1), 1e-6)
+        vdir = to_p / pdist[:, None]
+        v_ref = rm.raycast_visibility(
+            sdf_b, jnp.asarray(pos) + g["normal"] * rm.SURFACE_OFFSET,
+            jnp.asarray(vdir), jnp.asarray(pdist) - rm.SURFACE_OFFSET,
+            enabled=g["hit"])
+        np.testing.assert_allclose(np.asarray(g["vis8"][k])[hits],
+                                   np.asarray(v_ref)[hits])
