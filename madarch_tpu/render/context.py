@@ -15,6 +15,33 @@ from jax import lax
 from madarch_tpu.ops import march as march_ops
 from madarch_tpu.scene.scene import SceneData, SceneSpec, scene_sdf
 
+# Ray-chunk size for many-slot scene SDF evaluation: a dense march step
+# holds [rays, slots] intermediates, so big scenes sequentialize over ray
+# chunks to bound the working set (968 triangles × 640k rays would be
+# 2.5 GB per buffer unchunked).
+GRID_CHUNK = 32768
+# Scenes at or below this many live slots skip chunking: their [rays,
+# slots] footprint is small and lax.map would only add scan overhead.
+CHUNK_SLOT_THRESHOLD = 128
+
+
+def _chunked_vmap(fn_one, p, want_chunks=True):
+    """vmap(fn_one) over p[N,3], sequentialized in GRID_CHUNK-ray chunks via
+    lax.map so the per-step working set stays bounded."""
+    import jax.numpy as jnp
+
+    n = p.shape[0]
+    if not want_chunks or n <= GRID_CHUNK:
+        return jax.vmap(fn_one)(p)
+    n_pad = -(-n // GRID_CHUNK) * GRID_CHUNK
+    if n_pad != n:
+        p = jnp.concatenate(
+            [p, jnp.zeros((n_pad - n, 3), p.dtype)], axis=0)
+    chunks = p.reshape(-1, GRID_CHUNK, 3)
+    out = lax.map(lambda q: jax.vmap(fn_one)(q), chunks)
+    return out.reshape(-1)[:n]
+
+
 def _kernels_enabled() -> bool:
     """Kernels run on TPU by default; CPU uses the XLA fallback (interpret
     mode is for parity tests only, via MADARCH_FORCE_PALLAS=1)."""
@@ -33,15 +60,20 @@ class SceneCtx:
         self.sdf_b_diff = jax.vmap(lambda p: scene_sdf(spec, data, p))
         self.max_dist = spec.max_dist
 
-        if spec.partitioning is not None and data.grid is not None:
-            # marches use the grid candidate lists (partitioning_closest);
-            # the differentiable/info paths stay full-scene.
-            from madarch_tpu.scene.partitioning import grid_closest
-            settings = spec.partitioning
-            self.sdf_b = jax.vmap(lambda p: grid_closest(
-                spec, settings, data_sg, data_sg.grid, p))
-        else:
-            self.sdf_b = jax.vmap(lambda p: scene_sdf(spec, data_sg, p))
+        # Marches always evaluate the full scene *densely* (vectorized over
+        # slots), chunked over rays to bound the [rays, slots] working set.
+        # The reference's per-ray candidate-list iteration
+        # (partitioning_closest, madarch-scenes.adb:839-1118) is the wrong
+        # shape for this hardware: each candidate fetch is a gather, TPU
+        # gathers run on the scalar unit, and a measured 968-triangle march
+        # was 47× SLOWER through [rays, K] candidate gathers than through
+        # brute-force dense slot evaluation on the VPU.  The uniform grid
+        # remains the host/query-side structure (grid_closest, builders) and
+        # feeds the march-bound tables of the kernel path.
+        n_slots = sum(n for _, _, n, _ in spec.prim_bounds())
+        chunky = n_slots > CHUNK_SLOT_THRESHOLD
+        self.sdf_b = lambda p: _chunked_vmap(
+            lambda q: scene_sdf(spec, data_sg, q), p, want_chunks=chunky)
 
         self.plan = march_ops.build_plan(spec) if _kernels_enabled() else None
         if (self.plan is not None and self.plan.total_capacity <= 128

@@ -78,9 +78,39 @@ def all_slot_dists(spec: SceneSpec, data: SceneData, p):
     return jnp.concatenate(out)
 
 
-def candidate_dists(spec: SceneSpec, data: SceneData, cand, p):
+def planar_prims(spec: SceneSpec, data: SceneData):
+    """Per-type planar parameter split: vec3 fields become three f32[cap]
+    component arrays (name_x/y/z).  Must be built OUTSIDE any vmap/march
+    loop — the split is then a few materialized 1-D arrays instead of a
+    strided column slice traced per ray (which both blows memory through
+    lane padding and has tripped TPU runtime faults when fused into the
+    march gathers)."""
+    out = {}
+    for ptype, cap in spec.prims:
+        if ptype.sdf_planar is None:
+            continue
+        s = {}
+        for fname, kind in ptype.fields:
+            arr = data.prims[ptype.name][fname]
+            if kind == "vec3":
+                for ax_i, ax in enumerate("xyz"):
+                    s[f"{fname}_{ax}"] = arr[:, ax_i]
+            elif kind == "float":
+                s[fname] = arr
+            # ints (material_id) are not SDF inputs
+        out[ptype.name] = s
+    return out
+
+
+def candidate_dists(spec: SceneSpec, data: SceneData, cand, p, planar=None):
     """Distances from one point to K primitives given by global index
-    (dead/-1 entries -> max_dist); f32[K]."""
+    (dead/-1 entries -> max_dist); f32[K].
+
+    With ``planar`` (from :func:`planar_prims`), parameter gathers are one
+    [K] fetch per scalar component: a [K, 3] vec3 gather would be padded by
+    TPU tiling from 3 to 128 lanes — a 42× memory blowup that OOM'd 800²
+    mesh marches (each march step holds [rays, K] of these under vmap).
+    """
     k = cand.shape[0]
     dists = jnp.full((k,), spec.max_dist, jnp.float32)
     for ptype, cap in spec.prims:
@@ -89,8 +119,13 @@ def candidate_dists(spec: SceneSpec, data: SceneData, cand, p):
         off = spec.prim_offset(ptype)
         in_type = (cand >= off) & (cand < off + cap)
         local = jnp.clip(cand - off, 0, cap - 1)
-        params = jax.tree.map(lambda a: a[local], data.prims[ptype.name])
-        d = jax.vmap(lambda prm: ptype.sdf(prm, p))(params)
+        if planar is not None and ptype.name in planar:
+            s = {name: arr[local] for name, arr in planar[ptype.name].items()}
+            d = ptype.sdf_planar(s, p[0], p[1], p[2])
+        else:
+            params = jax.tree.map(lambda a: a[local],
+                                  data.prims[ptype.name])
+            d = jax.vmap(lambda prm: ptype.sdf(prm, p))(params)
         dists = jnp.where(in_type, d, dists)
     return dists
 
@@ -135,9 +170,10 @@ def build_grid(spec: SceneSpec, settings: PartitioningSettings,
 
 
 def grid_closest(spec: SceneSpec, settings: PartitioningSettings,
-                 data: SceneData, grid: GridData, p):
+                 data: SceneData, grid: GridData, p, planar=None):
     """partitioning_closest for one point (madarch-scenes.adb:839-1118):
-    candidate-list min, with clamp or full-scene fallback at the border."""
+    candidate-list min, with clamp or full-scene fallback at the border.
+    Pass ``planar`` (built outside the vmap) for the memory-lean gathers."""
     off = jnp.asarray(settings.grid_offset, jnp.float32)
     sp = jnp.asarray(settings.grid_spacing, jnp.float32)
     dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
@@ -150,7 +186,7 @@ def grid_closest(spec: SceneSpec, settings: PartitioningSettings,
 
     cand = grid.cells[cid]
     count = grid.counts[cid]
-    dists = candidate_dists(spec, data, cand, p)
+    dists = candidate_dists(spec, data, cand, p, planar=planar)
     dists = jnp.where(jnp.arange(cand.shape[0]) < count, dists,
                       spec.max_dist)
     dmin = jnp.minimum(jnp.min(dists), spec.max_dist)
