@@ -3,19 +3,23 @@
 The reference is a single-GPU engine with no distribution
 (SURVEY.md §5); the TPU rebuild's scaling design maps rendering onto SPMD:
 
-- **rays** (screen pixels and probe-radiance texels) shard across the mesh's
-  'rays' axis — the data-parallel axis;
+- **rays** (screen pixels, probe-radiance texels, froxel/scattering samples)
+  shard across the mesh's 'rays' axis — the data-parallel axis; batches are
+  padded to a mesh multiple so ANY resolution shards;
 - **scene data and probe atlases replicate**; the irradiance integration and
   any parameter gradients become cross-chip psums inserted by XLA from the
   sharding annotations (collectives ride ICI);
 - the training step (differentiable render + grad) all-reduces parameter
-  gradients automatically through jit's partitioner.
+  gradients automatically through jit's partitioner, with donated
+  scene/state buffers.
 
-Use ``jax.distributed.initialize()`` before building the mesh for multi-host
-pods; single-host multi-chip works as-is.
+Call ``init_distributed()`` before building the mesh for multi-host pods;
+single-host multi-chip works as-is.
 """
 from __future__ import annotations
 
+import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -32,6 +36,24 @@ from madarch_tpu.render.pipeline import (Camera, FrameState,
 from madarch_tpu.scene.scene import SceneData, SceneSpec
 
 
+def init_distributed():
+    """Guarded ``jax.distributed.initialize`` for multi-host pods: no-ops
+    when the coordinator env (JAX_COORDINATOR_ADDRESS or the TPU pod env)
+    is absent or when already initialized."""
+    if jax.process_count() > 1:
+        return True  # already initialized
+    has_env = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                   or os.environ.get("COORDINATOR_ADDRESS")
+                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not has_env:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError):
+        return False
+
+
 def make_mesh(n_devices: int = None, axis: str = "rays") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -39,13 +61,42 @@ def make_mesh(n_devices: int = None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def ray_sharder(mesh: Mesh, axis: str = "rays"):
-    """Returns a callable constraining flat ray arrays to shard over the
-    mesh axis (leading, batch, dimension)."""
-    def shard(arr):
-        spec = P(axis, *([None] * (arr.ndim - 1)))
-        return lax.with_sharding_constraint(arr, NamedSharding(mesh, spec))
-    return shard
+@dataclasses.dataclass(frozen=True)
+class RaySharder:
+    """Callable sharding policy for flat ray batches.
+
+    ``shard(arr)`` pads the leading (ray) dimension to a mesh multiple and
+    constrains it to shard over the mesh axis; padded tail rays march
+    alongside real ones and callers slice results back with ``unpad``
+    (every pipeline consumer already carries the true count).
+    """
+
+    mesh: Mesh
+    axis: str = "rays"
+
+    @property
+    def n(self) -> int:
+        return self.mesh.devices.size
+
+    def pad(self, arr):
+        rem = (-arr.shape[0]) % self.n
+        if rem == 0:
+            return arr
+        fill = jnp.zeros((rem,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, fill], axis=0)
+
+    def unpad(self, arr, n_true: int):
+        return arr[:n_true] if arr.shape[0] != n_true else arr
+
+    def __call__(self, arr):
+        arr = self.pad(arr)
+        spec = P(self.axis, *([None] * (arr.ndim - 1)))
+        return lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, spec))
+
+
+def ray_sharder(mesh: Mesh, axis: str = "rays") -> RaySharder:
+    return RaySharder(mesh=mesh, axis=axis)
 
 
 def replicate(mesh: Mesh, tree):
@@ -81,11 +132,10 @@ def make_train_step(spec: SceneSpec, probes: ProbeSettings,
     Loss = mean squared error between the rendered frame and a target image;
     gradients flow to every scene parameter (primitive fields, materials,
     lights, camera-independent) and are all-reduced across chips by XLA.
+    Scene data and frame state are donated (updated in place on device).
     Returns a jitted step: (data, camera, state, target) ->
     (loss, new_data, new_state).
     """
-    import dataclasses
-
     # training renders on the differentiable path (IFT hit reattachment +
     # autodiff normals); plain rendering keeps the fused-kernel fast path.
     if screen_cfg is None:
@@ -94,7 +144,7 @@ def make_train_step(spec: SceneSpec, probes: ProbeSettings,
     probe_cfg = dataclasses.replace(probe_cfg, differentiable=True)
     shard = ray_sharder(mesh)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 2))
     def step(data: SceneData, camera: Camera, state: FrameState, target):
         floats, aux = split_float_leaves(data)
 
@@ -127,3 +177,40 @@ def merge_float_leaves(aux, floats):
     it = iter(floats)
     merged = [next(it) if f else l for l, f in zip(leaves, is_f)]
     return jax.tree.unflatten(treedef, merged)
+
+
+def measure_scaling(builder=None, width: int = 256, height: int = 256,
+                    frames: int = 4, **builder_kw):
+    """Rays/s scaling efficiency: sharded render on the full mesh vs a
+    1-device mesh, same scene and shapes.  Returns a dict with times and
+    efficiency = t1 / (tN · N).  On the CPU fake cluster this validates the
+    machinery; on a real slice it is the BASELINE.json scaling metric."""
+    import time
+
+    if builder is None:
+        from madarch_tpu.examples.scenes import global_illumination
+        builder = global_illumination
+
+    results = {}
+    n_all = len(jax.devices())
+    for n in (1, n_all):
+        r = builder(width=width, height=height, **builder_kw)
+        mesh = make_mesh(n)
+        data = replicate(mesh, r.scene_data)
+        state = replicate(mesh, r.state)
+        run = make_sharded_render(r.spec, r.probes, r.volumetrics, width,
+                                  height, mesh, screen_cfg=r.screen_cfg,
+                                  probe_cfg=r.probe_cfg)
+        img, st = run(data, r.camera, state)
+        jax.block_until_ready(img)
+        t0 = time.time()
+        for _ in range(frames):
+            img, st = run(data, r.camera, st)
+        jax.block_until_ready(img)
+        float(jnp.sum(img))
+        results[n] = (time.time() - t0) / frames
+
+    eff = results[1] / (results[n_all] * n_all) if n_all > 1 else 1.0
+    return {"devices": n_all, "t1_s": round(results[1], 4),
+            "tN_s": round(results[n_all], 4),
+            "efficiency": round(eff, 3)}

@@ -56,6 +56,14 @@ def initial_state(probes: ProbeSettings,
     )
 
 
+def _unpad(shard, arr, n_true):
+    """Strip the divisibility padding a RaySharder added (no-op for plain
+    callables or unsharded runs)."""
+    if shard is None or not hasattr(shard, "unpad"):
+        return arr
+    return shard.unpad(arr, n_true)
+
+
 def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
                   cfg: ShadeConfig, irr_atlas, rad_atlas, shard=None):
     """Trace every probe's octahedral ray set and shade it
@@ -68,12 +76,14 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
 
     origins = jnp.repeat(p_world, rr * rr, axis=0)           # [P·rr²,3]
     ray_dirs = jnp.tile(dirs, (n_probes, 1))
+    n_rays = origins.shape[0]
     if shard is not None:
         origins = shard(origins)
         ray_dirs = shard(ray_dirs)
 
     color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas, rad_atlas,
                               origins, ray_dirs)
+    color = _unpad(shard, color, n_rays)
     tiles = color.reshape(n_probes, rr * rr, 3)
     px, py = probes.probe_count
     if px * py != n_probes:
@@ -92,14 +102,18 @@ def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
     origins, dirs = camera_rays(frag, camera.position, camera.orientation)
     origins_f = origins.reshape(-1, 3)
     dirs_f = dirs.reshape(-1, 3)
+    n_rays = origins_f.shape[0]
     if shard is not None:
         origins_f = shard(origins_f)
         dirs_f = shard(dirs_f)
 
     color, hit, hit_pos = pixel_color(spec, data, probes, cfg, irr_atlas,
                                       rad_atlas, origins_f, dirs_f)
+    color = _unpad(shard, color, n_rays)
     if cfg.render_volumetrics:
-        ray_len = jnp.linalg.norm(hit_pos - origins_f, axis=-1)
+        hit_pos = _unpad(shard, hit_pos, n_rays)
+        ray_len = jnp.linalg.norm(
+            hit_pos - _unpad(shard, origins_f, n_rays), axis=-1)
         color = vol_mod.composite(vol, scattering, color, ray_len,
                                   frag.reshape(-1, 2), spec.max_dist)
 
@@ -135,10 +149,11 @@ def render_frame_impl(spec: SceneSpec, probes: ProbeSettings,
         sdf_b = SceneCtx(spec, data)
         visibility = vol_mod.visibility_pass(
             spec, data, vol, sdf_b, camera.position, camera.orientation,
-            max_steps=screen_cfg.max_march_steps)
+            max_steps=screen_cfg.max_march_steps, shard=shard)
         scattering = vol_mod.scattering_pass(
             spec, data, vol, sdf_b, visibility, camera.position,
-            camera.orientation, max_steps=screen_cfg.max_march_steps)
+            camera.orientation, max_steps=screen_cfg.max_march_steps,
+            shard=shard)
 
     image = screen_pass(spec, data, probes, vol, screen_cfg, width, height,
                         camera, irradiance, radiance, scattering,

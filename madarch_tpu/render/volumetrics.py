@@ -34,13 +34,28 @@ def rayleigh_phase(in_dir, out_dir):
     return 3.0 * (1.0 + cos_angle * cos_angle) / (16.0 * PI)
 
 
+def _shard_batch(shard, arrs):
+    """Apply a ray sharder to flat batches (pads to a mesh multiple)."""
+    if shard is None:
+        return arrs
+    return [shard(a) for a in arrs]
+
+
+def _unpad(shard, arr, n_true):
+    if shard is None or not hasattr(shard, "unpad"):
+        return arr
+    return shard.unpad(arr, n_true)
+
+
 def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
-                    camera_position, camera_orientation, *, max_steps=300):
+                    camera_position, camera_orientation, *, max_steps=300,
+                    shard=None):
     """In-scattered light per froxel (compute_frustrum_visibility.glsl:8-41).
 
     Froxel (z, y, x) samples the camera ray through pixel (x, y) at ray
     distance z·step: single-scatter Σ_lights exp(−d·τ)·vis·radiance·HG.
-    Returns f32[vz, vy, vx, 3].
+    Returns f32[vz, vy, vx, 3].  ``shard`` (a parallel.spmd.RaySharder)
+    splits the froxel batch over the mesh's ray axis.
     """
     vx, vy, vz = vol.visibility_resolution
     frag = pixel_grid(vx, vy)                                   # [vy,vx,2]
@@ -50,6 +65,8 @@ def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
     pts = origins[None] + dirs[None] * depths[:, None, None, None]
     pts_f = pts.reshape(-1, 3)
     dirs_f = jnp.broadcast_to(dirs[None], (vz, vy, vx, 3)).reshape(-1, 3)
+    n_true = pts_f.shape[0]
+    pts_f, dirs_f = _shard_batch(shard, [pts_f, dirs_f])
 
     result = jnp.zeros_like(pts_f)
     dummy_normal = jnp.broadcast_to(
@@ -71,11 +88,13 @@ def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
                 * henyey_greenstein_phase(ldir, dirs_f)[..., None]
             result = result + (contrib if static
                                else jnp.where(live, contrib, 0.0))
+    result = _unpad(shard, result, n_true)
     return result.reshape(vz, vy, vx, 3)
 
 
 def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
-                    camera_position, camera_orientation, *, max_steps=300):
+                    camera_position, camera_orientation, *, max_steps=300,
+                    shard=None):
     """Per-pixel in-scatter integral along the view ray
     (accumulate_scattering.glsl:17-31).  Returns f32[sy, sx, 4] = (L, len).
     """
@@ -86,10 +105,13 @@ def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
     origins_f = origins.reshape(-1, 3)
     dirs_f = dirs.reshape(-1, 3)
     n = origins_f.shape[0]
+    origins_s, dirs_s = _shard_batch(shard, [origins_f, dirs_f])
 
     max_depth = vol.max_depth
-    t, hit, _ = raycast(sdf_b, origins_f, dirs_f, max_depth,
+    t, hit, _ = raycast(sdf_b, origins_s, dirs_s, max_depth,
                         max_steps=max_steps)
+    t = _unpad(shard, t, n)
+    hit = _unpad(shard, hit, n)
     length = jnp.minimum(jnp.where(hit, t, max_depth), max_depth)  # [n]
 
     # visibility texture lookup: pixel (x,y) of the scattering grid reads

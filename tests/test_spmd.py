@@ -55,15 +55,15 @@ def test_train_step_runs_and_descends():
     step = spmd.make_train_step(r.spec, PROBES, NO_VOLUMETRICS, w, h, mesh,
                                 lr=0.05, screen_cfg=CFG)
     target = jnp.zeros((h, w, 3), jnp.float32)
+    albedo0 = np.asarray(data.materials["albedo"]).copy()  # pre-donation
 
     loss0, data1, state1 = step(data, r.camera, state, target)
     assert np.isfinite(loss0)
+    moved = np.abs(np.asarray(data1.materials["albedo"]) - albedo0).max()
     # second step from updated params: loss should not explode and params
     # should have moved toward darker materials
     loss1, data2, _ = step(data1, r.camera, state1, target)
     assert np.isfinite(loss1)
-    moved = np.abs(np.asarray(data1.materials["albedo"])
-                   - np.asarray(data.materials["albedo"])).max()
     assert moved > 0.0
 
 
@@ -76,3 +76,77 @@ def test_split_merge_float_leaves_roundtrip():
     flat_b = jax.tree.leaves(back)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_render_non_divisible_resolution():
+    """18×18 = 324 rays does not divide the 8-device mesh: the RaySharder
+    pads to a mesh multiple and results still match single-device."""
+    w = h = 18
+    r = build_renderer(w, h)
+    mesh = spmd.make_mesh()
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+    run = spmd.make_sharded_render(r.spec, PROBES, NO_VOLUMETRICS, w, h,
+                                   mesh, screen_cfg=CFG)
+    img_sharded, _ = run(data, r.camera, state)
+    img_single, _ = jax.jit(
+        lambda d, c, s: render_frame_impl(
+            r.spec, PROBES, NO_VOLUMETRICS, w, h, d, c, s,
+            screen_cfg=CFG))(r.scene_data, r.camera, r.state)
+    np.testing.assert_allclose(np.asarray(img_sharded),
+                               np.asarray(img_single), atol=1e-5)
+
+
+def test_sharded_volumetrics_matches_single_device():
+    from madarch_tpu.examples.scenes import light_shafts
+
+    w = h = 16
+    vol = VolumetricsSettings(enabled=True,
+                              visibility_resolution=(6, 6, 6),
+                              visibility_step_size=0.5,
+                              scattering_resolution=(10, 10),
+                              scattering_step_size=0.5)
+    cfg = ShadeConfig(direct_specular=True, indirect_specular_mode=0,
+                      add_indirect_specular=False, ambient_occlusion_steps=0,
+                      render_volumetrics=True, max_march_steps=48)
+    r = light_shafts(width=w, height=h, probes=PROBES, volumetrics=vol)
+    mesh = spmd.make_mesh()
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+    run = spmd.make_sharded_render(r.spec, PROBES, vol, w, h, mesh,
+                                   screen_cfg=cfg)
+    img_sharded, _ = run(data, r.camera, state)
+    img_single, _ = jax.jit(
+        lambda d, c, s: render_frame_impl(
+            r.spec, PROBES, vol, w, h, d, c, s, screen_cfg=cfg))(
+        r.scene_data, r.camera, r.state)
+    np.testing.assert_allclose(np.asarray(img_sharded),
+                               np.asarray(img_single), atol=1e-5)
+
+
+def test_ray_sharder_produces_real_shards():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = spmd.make_mesh()
+    sharder = spmd.ray_sharder(mesh)
+    with mesh:
+        out = jax.jit(sharder)(jnp.zeros((320, 3), jnp.float32))
+    assert isinstance(out.sharding, NamedSharding)
+    shapes = {s.data.shape for s in out.addressable_shards}
+    assert shapes == {(40, 3)}, shapes
+    # non-divisible batch gets padded to a mesh multiple
+    with mesh:
+        out = jax.jit(sharder)(jnp.zeros((321, 3), jnp.float32))
+    assert out.shape[0] == 328
+
+
+def test_measure_scaling_machinery():
+    out = spmd.measure_scaling(width=16, height=16, probes=PROBES)
+    assert out["devices"] == 8
+    assert out["t1_s"] > 0 and out["tN_s"] > 0
+    assert np.isfinite(out["efficiency"])
+
+
+def test_init_distributed_is_guarded_noop():
+    # no coordinator env in tests: must not raise, must report False
+    assert spmd.init_distributed() is False
