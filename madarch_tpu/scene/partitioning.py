@@ -1,6 +1,14 @@
 """Uniform-grid space partitioning: per-cell candidate lists + grid-aware
 closest-primitive queries.
 
+Scope note: on TPU the *render-path* march acceleration is the chunked
+dense-slot evaluation with bounding-sphere chunk culling inside the fused
+Pallas kernels (ops/march.py) — per-ray candidate gathers measured 47×
+slower than dense evaluation on this hardware (render/context.py).  This
+module is the host/query-side structure: ``grid_closest`` serves physics /
+eval_distance_to-style point queries and tests, and the builders mirror the
+reference's Update_Partitioning semantics.
+
 TPU-native counterpart of the reference's partitioning codegen
 (/root/reference/madarch/madarch-scenes.adb:766-1187) and the three
 Update_Partitioning builders (madarch-renderers.adb:539-755):

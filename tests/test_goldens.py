@@ -3,9 +3,10 @@ gradients of named scene parameters, pinned against tests/goldens/*.npz.
 
 BASELINE.json's acceptance metric is "image + pixel-gradient allclose";
 since the reference cannot run here, the goldens pin *this* framework's
-verified output (visually inspected + cross-checked against the reference
-renders in /root/reference/media at the statistical level) so regressions
-are caught.  Regenerate intentionally with:
+verified output (visually inspected) so regressions are caught.  The
+statistical comparison against the reference's published renders
+(/root/reference/media/*.png) lives in tests/test_reference_media.py.
+Regenerate intentionally with:
     JAX_PLATFORMS=cpu python tools/make_goldens.py
 """
 import importlib.util
