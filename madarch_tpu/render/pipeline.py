@@ -115,7 +115,7 @@ def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
         ray_len = jnp.linalg.norm(
             hit_pos - _unpad(shard, origins_f, n_rays), axis=-1)
         color = vol_mod.composite(vol, scattering, color, ray_len,
-                                  frag.reshape(-1, 2), spec.max_dist)
+                                  width, height, spec.max_dist)
 
     color = jnp.maximum(color, 0.0)
     # Reinhard + gamma; the 1e-8 keeps the pow's reverse-mode derivative

@@ -97,7 +97,17 @@ def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
                     shard=None):
     """Per-pixel in-scatter integral along the view ray
     (accumulate_scattering.glsl:17-31).  Returns f32[sy, sx, 4] = (L, len).
+
+    The per-step froxel fetches are static maps (pixel -> froxel column is
+    fixed by the two resolutions, z-slice is fixed per step), so the whole
+    integral is gather-free: one dense froxel->scattering-grid resample +
+    n_steps masked fused multiply-adds (was a 19M-element gather loop at
+    ~3 ns/element on the TPU scalar unit).
     """
+    import numpy as np
+
+    from madarch_tpu.core.resample import floor_map, take_static
+
     sx, sy = vol.scattering_resolution
     vx, vy, vz = vol.visibility_resolution
     frag = pixel_grid(sx, sy)                                   # [sy,sx,2]
@@ -114,51 +124,62 @@ def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
     hit = _unpad(shard, hit, n)
     length = jnp.minimum(jnp.where(hit, t, max_depth), max_depth)  # [n]
 
-    # visibility texture lookup: pixel (x,y) of the scattering grid reads
-    # froxel column (x·vx/sx, y·vy/sy) — the reference's normalized texture
-    # coords resolve to nearest froxel texel here.
-    iy, ix = jnp.meshgrid(jnp.arange(sy), jnp.arange(sx), indexing="ij")
-    fx = jnp.clip((ix.reshape(-1) * vx) // sx, 0, vx - 1)
-    fy = jnp.clip((iy.reshape(-1) * vy) // sy, 0, vy - 1)
+    # froxel column per scattering pixel: (x·vx)//sx, (y·vy)//sy — the
+    # reference's normalized nearest-texel map, as dense strided slices.
+    vis_up = take_static(visibility, floor_map(sy, vy, offset=0.0), axis=1)
+    vis_up = take_static(vis_up, floor_map(sx, vx, offset=0.0), axis=2)
+    vis_flat = vis_up.reshape(vz, n, 3)
 
     n_steps = int(max_depth / vol.scattering_step_size)
-
-    def body(i, acc):
-        f = i.astype(jnp.float32) * vol.scattering_step_size
-        slice_idx = jnp.clip(
-            (f / vol.visibility_step_size).astype(jnp.int32), 0, vz - 1)
-        r = visibility[slice_idx, fy, fx]                       # [n,3]
-        w = jnp.where(f < length, jnp.exp(-f * TAU_SCATTERING), 0.0)
-        return acc + r * w[..., None]
-
-    l_acc = lax.fori_loop(0, n_steps, body, jnp.zeros((n, 3), jnp.float32))
-    l_acc = l_acc * vol.scattering_step_size
+    acc = jnp.zeros((n, 3), jnp.float32)
+    for i in range(n_steps):
+        f = np.float32(np.float32(i) * np.float32(vol.scattering_step_size))
+        z = min(max(int(f / np.float32(vol.visibility_step_size)), 0),
+                vz - 1)
+        w = jnp.where(f < length,
+                      jnp.exp(jnp.float32(-f * np.float32(TAU_SCATTERING))),
+                      0.0)
+        acc = acc + vis_flat[z] * w[..., None]
+    l_acc = acc * vol.scattering_step_size
     out = jnp.concatenate([l_acc, length[..., None]], axis=-1)
     return out.reshape(sy, sx, 4)
 
 
-def composite(vol: VolumetricsSettings, scattering, color, ray_len, frag_xy,
-              max_dist):
+def composite(vol: VolumetricsSettings, scattering, color, ray_len, width,
+              height, max_dist):
     """Depth-aware fog composite (volumetrics.glsl:34-54): 3×3 neighborhood
-    search keyed on |stored_len − pixel_len|, then
-    L·exp(−len·τ) + fog_L.
+    search keyed on |stored_len − pixel_len|, then L·exp(−len·τ) + fog_L.
 
-    color/ray_len/frag_xy are flat batches [N,3]/[N]/[N,2].
+    color/ray_len are flat pixel batches [H·W,3]/[H·W]; the scattering-map
+    taps are static per-pixel indices (fixed by the two resolutions), so the
+    3×3 search runs on nine dense clamp-shifted resamples of the scattering
+    texture instead of 9·H·W scalar-unit gathers.
     """
+    import numpy as np
+
+    from madarch_tpu.core.resample import shift_clamped, take_static
+
     sx, sy = vol.scattering_resolution
-    tex = (frag_xy + 1.0) * 0.5                                 # [N,2]
-    px = tex[..., 0] * sx - 0.5
-    py = tex[..., 1] * sy - 0.5
-    ix = jnp.round(px).astype(jnp.int32)
-    iy = jnp.round(py).astype(jnp.int32)
+
+    def center_map(n_pix, n_tex):
+        # same f32 arithmetic as the previous per-pixel formulation:
+        # frag = (j+0.5)/n·2−1, tex = (frag+1)/2, i = round(tex·n_tex − 0.5)
+        frag = ((np.arange(n_pix, dtype=np.float32) + np.float32(0.5))
+                / np.float32(n_pix) * np.float32(2.0) - np.float32(1.0))
+        tex = (frag + np.float32(1.0)) * np.float32(0.5)
+        return np.round(tex * np.float32(n_tex)
+                        - np.float32(0.5)).astype(np.int64)
+
+    ix = np.clip(center_map(width, sx), 0, sx - 1)
+    iy = np.clip(center_map(height, sy), 0, sy - 1)
 
     closest = jnp.full(ray_len.shape, max_dist, jnp.float32)
     fog = jnp.zeros_like(color)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            sx_i = jnp.clip(ix + dx, 0, sx - 1)
-            sy_i = jnp.clip(iy + dy, 0, sy - 1)
-            datum = scattering[sy_i, sx_i]                      # [N,4]
+            sh = shift_clamped(shift_clamped(scattering, 0, dy), 1, dx)
+            up = take_static(take_static(sh, iy, axis=0), ix, axis=1)
+            datum = up.reshape(-1, 4)                           # [H·W,4]
             dist = jnp.abs(datum[..., 3] - ray_len)
             better = dist < closest
             fog = jnp.where(better[..., None], datum[..., :3], fog)
