@@ -2,25 +2,41 @@
 
 The pure-JAX marches in render/raymarch.py materialize [N, n_slots]
 distance intermediates in HBM every step; these kernels keep a tile of rays
-(TILE_ROWS×128, planar x/y/z layout) entirely in VMEM/registers, read the
-scene's scalar parameters from SMEM, and run the march ``while_loop``
-per-tile — so a tile of rays exits as soon as *it* converges, the TPU
-equivalent of a GPU warp's early exit (reference hot loops:
-/root/reference/madarch/glsl/raymarching.glsl:1-57).
+(TILE_ROWS×128, planar x/y/z layout) entirely in VMEM/registers and run the
+march ``while_loop`` per-tile — so a tile of rays exits as soon as *it*
+converges, the TPU equivalent of a GPU warp's early exit (reference hot
+loops: /root/reference/madarch/glsl/raymarching.glsl:1-57).
 
-Scene parameters are packed by ``build_plan`` into one flat f32[NP, 1] SMEM
-vector plus an i32[ntypes, 1] live-count vector; the kernel closure holds the
-static layout and unrolls over capacity slots, masking dead slots by count —
-the compiled-in scene structure mirrors the reference's generated
-closest_primitive loops (madarch-scenes.adb:602-629).
+Scene parameters take one of two layouts, chosen per primitive type by
+``build_plan``:
+
+- **unrolled** (few live slots): scalars packed into one flat f32[NP, 1]
+  SMEM vector; the kernel closure unrolls over slots — the compiled-in
+  scene structure mirrors the reference's generated closest_primitive loops
+  (madarch-scenes.adb:602-629).
+- **chunked** (many slots, e.g. the 968-triangle obj_mesh): scalars stored
+  as lane-replicated VMEM rows (f32[n_slots·NF, 128]) read one (1,128) row
+  per scalar and broadcast along sublanes — no Mosaic relayouts; the slot
+  loop is a rolled ``fori_loop`` so code size stays constant in slot count
+  (the round-2 Python unroll hit 306 s compiles at 40 slots).  Types with
+  spatial ``bounds`` additionally carry lane-replicated bounding spheres
+  (global + per 16-slot chunk): every scene call short-circuits through the
+  global sphere — lanes outside ``margin`` of the mesh get the sphere
+  lower bound (sphere tracing only needs a conservative bound far away),
+  the TPU analogue of the reference's grid candidate culling
+  (madarch-scenes.adb:839-1118) at tile granularity.
 
 Beyond the three bare marches, ``pallas_geometry`` is the fused
 march-and-classify kernel: primary sphere trace, nearest-primitive index +
-material id (the generated closest_primitive_info, madarch-scenes.adb:631),
+material id (closest_primitive_info, madarch-scenes.adb:631),
 tetrahedron-FD surface normal, ambient occlusion probes (lighting.glsl:51),
 per-light penumbra marches (raymarching.glsl:4) and the 8 DDGI
 probe-visibility marches (render_probes.glsl:30-45) — one kernel invocation
-per shade batch, all ray state VMEM-resident.
+per shade batch.  The AO offsets, FD-normal offsets, all lights' shadow
+rays and all 8 probe-visibility rays are *stacked on the sublane axis* and
+marched as single while_loops: one march instance each instead of
+3+4+L+8 — both the round-2 compile cliff (38 inlined scene bodies) and the
+loop-overhead tax die together.
 """
 from __future__ import annotations
 
@@ -45,80 +61,201 @@ BIG = 1e9
 UNROLL = 3
 # Central-difference half-step for the in-kernel tetrahedron normal.
 NORMAL_H = 1e-3
+# Types with more live slots than this use the chunked VMEM layout.
+UNROLL_SLOTS_MAX = 24
+# Chunk granularity for bounding spheres in the chunked layout.
+CHUNK = 16
+# Far-field short-circuit distance for bounded chunked types: lanes whose
+# global-sphere lower bound exceeds this read the bound instead of the
+# exact distance (safe: sphere tracing needs a lower bound; hit tests
+# compare against eps << margin).  Penumbra marches stay exact for k where
+# k·margin/max_dist could dip below 1 (see pallas_softshadows).
+FAR_MARGIN = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanEntry:
+    """Per-type static layout (hashable; ptype hashes by identity)."""
+
+    kind: str            # "u" unrolled-SMEM | "c" chunked-VMEM
+    ptype: object
+    n: int               # static slot loop bound (live count or capacity)
+    t_idx: int           # index into the counts vector
+    goff: int            # global index offset (capacity-based, spec order)
+    scalars: tuple = ()  # "u": ((name, smem offset), ...)
+    fields: tuple = ()   # "c": scalar names in VMEM row order
+    arr_idx: int = -1    # "c": index into PackedScene.chunked
+    sph_idx: int = -1    # "c": index into PackedScene.spheres (-1: none)
+    n_chunks: int = 0    # "c": chunk count (bounded types)
 
 
 @dataclasses.dataclass(frozen=True)
 class ScenePlan:
-    """Static layout of the packed scene-parameter vector (hashable: keyed
-    by primitive type identity and offsets only).
-
-    ``entries``: ((ptype, n_slots, ((scalar_name, base_offset), ...),
-    global_index_offset), ...).  The global offset is capacity-based in spec
-    order, matching scene_sdf_info's index convention."""
+    """Static half of the packed scene (a jit static argument)."""
 
     entries: tuple
-    n_params: int
+    n_params: int                # SMEM vector length (≥ 1 when packed)
     static_counts: bool = False  # live counts baked in: no slot masking
 
     @property
     def total_capacity(self):
-        return sum(n for _, n, _, _ in self.entries)
+        return sum(e.n for e in self.entries)
+
+    @property
+    def has_chunks(self):
+        return any(e.kind == "c" for e in self.entries)
+
+    @property
+    def margin(self):
+        """Far-field short-circuit margin, or None when no entry can use
+        it (unbounded or unrolled types are always evaluated exactly)."""
+        if any(e.kind == "c" and e.sph_idx >= 0 for e in self.entries):
+            return FAR_MARGIN
+        return None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedScene:
+    """Dynamic half: device arrays consumed by the kernels (a pytree).
+
+    vec: f32[NP, 1] scalars for unrolled types (SMEM).
+    counts: i32[ntypes, 1] live counts (SMEM).
+    chunked: per chunked type, f32[n_pad·NF, 128] lane-replicated scalars.
+    spheres: per bounded chunked type, f32[(1+n_chunks)·4, 128]
+      lane-replicated global + per-chunk bounding spheres (cx cy cz r).
+    """
+
+    vec: jnp.ndarray
+    counts: jnp.ndarray
+    chunked: tuple
+    spheres: tuple
+
+
+def _scalar_names(ptype):
+    """Planar scalar names for a type's fields, in field order."""
+    names = []
+    for fname, kind in ptype.fields:
+        if kind == "vec3":
+            names += [f"{fname}_{ax}" for ax in "xyz"]
+        else:
+            names.append(fname)
+    return names
 
 
 def build_plan(spec):
-    """Static half: scalar layout for all primitive types with planar SDFs.
+    """Static half: layout for all primitive types with planar SDFs.
 
-    When the spec carries static live counts (SceneSpec.specialized), the
-    kernel unrolls over exactly the live slots and drops the per-slot count
-    mask — the compiled kernel is the scene, as the reference's generated
-    GLSL was (madarch-scenes.adb:602-629).  material_id rides along as an
-    f32 scalar so the geometry kernel can emit it from the argmin."""
+    When the spec carries static live counts (SceneSpec.specialized), slot
+    loops run over exactly the live slots with no count mask — the compiled
+    kernel is the scene, as the reference's generated GLSL was
+    (madarch-scenes.adb:1189-1266)."""
     entries = []
     off = 0
     goff = 0
+    arr_idx = 0
+    sph_idx = 0
+    t_idx = 0
     for ptype, cap, n, static in spec.prim_bounds():
         if n == 0:
             goff += cap
             continue
         if ptype.sdf_planar is None:
             return None  # custom type without planar form: no kernel path
-        scalars = []
-        for fname, kind in ptype.fields:
-            if kind == "vec3":
-                for ax in "xyz":
-                    scalars.append((f"{fname}_{ax}", off))
-                    off += n
-            elif kind == "float":
-                scalars.append((fname, off))
+        names = _scalar_names(ptype)
+        if any(k not in ("vec3", "float", "int") or
+               (k == "int" and f != "material_id")
+               for f, k in ptype.fields):
+            return None  # int-valued SDF params unsupported
+        if n <= UNROLL_SLOTS_MAX:
+            scalars = []
+            for name in names:
+                scalars.append((name, off))
                 off += n
-            elif fname == "material_id":
-                scalars.append((fname, off))
-                off += n
-            else:
-                return None  # other int-valued SDF params unsupported
-        entries.append((ptype, n, tuple(scalars), goff))
+            entries.append(PlanEntry(
+                kind="u", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
+                scalars=tuple(scalars)))
+        else:
+            bounded = getattr(ptype, "bounds", None) is not None
+            n_chunks = -(-n // CHUNK) if bounded else 0
+            entries.append(PlanEntry(
+                kind="c", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
+                fields=tuple(names), arr_idx=arr_idx,
+                sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks))
+            arr_idx += 1
+            if bounded:
+                sph_idx += 1
         goff += cap
-    return ScenePlan(entries=tuple(entries), n_params=off,
+        t_idx += 1
+    return ScenePlan(entries=tuple(entries), n_params=max(off, 1),
                      static_counts=spec.live_prims is not None)
 
 
 def pack_params(plan: ScenePlan, data):
-    """Dynamic half: f32[NP, 1] parameter vector + i32[ntypes, 1] counts."""
+    """Dynamic half: build the PackedScene pytree from scene data."""
     parts = []
     counts = []
-    for ptype, n, scalars, _ in plan.entries:
-        params = data.prims[ptype.name]
-        for sname, _ in scalars:
+    chunked = []
+    spheres = []
+    for e in plan.entries:
+        params = data.prims[e.ptype.name]
+        cols = []
+        for sname in (dict(e.scalars).keys() if e.kind == "u"
+                      else e.fields):
             if sname in params:
-                parts.append(params[sname][:n].astype(jnp.float32))
+                cols.append(params[sname][:e.n].astype(jnp.float32))
             else:
                 base, ax = sname.rsplit("_", 1)
-                parts.append(params[base][:n, "xyz".index(ax)].astype(
-                    jnp.float32))
-        counts.append(data.prim_counts[ptype.name])
-    vec = jnp.concatenate(parts).reshape(-1, 1)
-    cnt = jnp.stack(counts).astype(jnp.int32).reshape(-1, 1)
-    return vec, cnt
+                cols.append(params[base][:e.n, "xyz".index(ax)]
+                            .astype(jnp.float32))
+        counts.append(data.prim_counts[e.ptype.name])
+        if e.kind == "u":
+            parts += cols
+            continue
+        # chunked: rows interleaved per slot ([slot0 f0..fF, slot1 ...])
+        nf = len(e.fields)
+        n_pad = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
+        mat = jnp.stack(cols, axis=1)                       # [n, NF]
+        if n_pad != e.n:
+            mat = jnp.concatenate(
+                [mat, jnp.zeros((n_pad - e.n, nf), jnp.float32)])
+        chunked.append(jnp.broadcast_to(
+            mat.reshape(n_pad * nf, 1), (n_pad * nf, LANES)))
+        if e.sph_idx >= 0:
+            lo, hi = e.ptype.bounds(
+                jax.tree.map(lambda a: a[:e.n], params))    # [n,3] each
+            if not plan.static_counts:
+                live = (jnp.arange(e.n) < counts[-1])[:, None]
+                lo = jnp.where(live, lo, BIG)
+                hi = jnp.where(live, hi, -BIG)
+            pad = e.n_chunks * CHUNK - e.n
+            if pad:
+                lo = jnp.concatenate(
+                    [lo, jnp.full((pad, 3), BIG, jnp.float32)])
+                hi = jnp.concatenate(
+                    [hi, jnp.full((pad, 3), -BIG, jnp.float32)])
+            lo_c = lo.reshape(e.n_chunks, CHUNK, 3).min(axis=1)
+            hi_c = hi.reshape(e.n_chunks, CHUNK, 3).max(axis=1)
+            ctr_c = (lo_c + hi_c) * 0.5
+            rad_c = jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5
+            glo_lo = lo_c.min(axis=0)
+            glo_hi = hi_c.max(axis=0)
+            ctr_g = (glo_lo + glo_hi) * 0.5
+            rad_g = jnp.linalg.norm(glo_hi - glo_lo) * 0.5
+            rows = jnp.concatenate([
+                jnp.concatenate([ctr_g, rad_g[None]]),
+                jnp.concatenate([ctr_c, rad_c[:, None]],
+                                axis=1).reshape(-1)])
+            # empty chunks (radius < 0): degenerate sphere far away so
+            # their lower bound never wins
+            spheres.append(jnp.broadcast_to(
+                rows.reshape(-1, 1), (rows.shape[0], LANES)))
+    vec = (jnp.concatenate(parts).reshape(-1, 1) if parts
+           else jnp.zeros((1, 1), jnp.float32))
+    cnt = (jnp.stack(counts).astype(jnp.int32).reshape(-1, 1) if counts
+           else jnp.zeros((1, 1), jnp.int32))
+    return PackedScene(vec=vec, counts=cnt, chunked=tuple(chunked),
+                       spheres=tuple(spheres))
 
 
 def pack_light_positions(spec, data):
@@ -141,41 +278,136 @@ def pack_light_positions(spec, data):
     return jnp.concatenate(parts).reshape(-1, 1), n_slots
 
 
-def _scene_dist(plan: ScenePlan, params_ref, counts_ref, px, py, pz,
-                max_dist):
-    closest = jnp.full(px.shape, max_dist, jnp.float32)
-    for t_idx, (ptype, n, scalars, _) in enumerate(plan.entries):
-        cnt = None if plan.static_counts else counts_ref[t_idx, 0]
-        for i in range(n):
-            s = {name: params_ref[off + i, 0] for name, off in scalars}
-            d = ptype.sdf_planar(s, px, py, pz)
+# ---------------------------------------------------------------------------
+# Scene evaluation over planar (rows, 128) coordinate tiles.
+# ---------------------------------------------------------------------------
+
+class SceneRefs:
+    """Bundle of the kernel-side scene refs, in pallas-arg order."""
+
+    def __init__(self, counts, params, chunked, spheres):
+        self.counts = counts
+        self.params = params
+        self.chunked = chunked
+        self.spheres = spheres
+
+    @staticmethod
+    def n_args(plan):
+        return 2 + sum(1 for e in plan.entries if e.kind == "c") \
+            + sum(1 for e in plan.entries
+                  if e.kind == "c" and e.sph_idx >= 0)
+
+    @staticmethod
+    def split(plan, args):
+        counts, params = args[0], args[1]
+        n_c = sum(1 for e in plan.entries if e.kind == "c")
+        n_s = sum(1 for e in plan.entries
+                  if e.kind == "c" and e.sph_idx >= 0)
+        chunked = tuple(args[2:2 + n_c])
+        spheres = tuple(args[2 + n_c:2 + n_c + n_s])
+        return SceneRefs(counts, params, chunked, spheres), \
+            args[2 + n_c + n_s:]
+
+
+def _rep(ref, idx, shape):
+    """Lane-replicated VMEM row at dynamic index -> broadcast to shape."""
+    return jnp.broadcast_to(ref[pl.ds(idx, 1), :], shape)
+
+
+def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info):
+    """Min distance of one type over a (R,128) tile.
+
+    info=False -> returns d; info=True -> (d, local slot f32, mid f32).
+    Chunked bounded types apply the global-sphere far-field short-circuit
+    when ``margin`` is not None (marches only; exact sites pass None).
+    """
+    cnt = None if plan.static_counts else refs.counts[e.t_idx, 0]
+    shape = px.shape
+
+    if e.kind == "u":
+        best = jnp.full(shape, max_dist, jnp.float32)
+        idx = jnp.zeros(shape, jnp.float32)
+        mid = jnp.zeros(shape, jnp.float32)
+        for i in range(e.n):
+            s = {name: refs.params[off + i, 0] for name, off in e.scalars}
+            d = e.ptype.sdf_planar(s, px, py, pz)
             if cnt is not None:
                 d = jnp.where(i < cnt, d, max_dist)
-            closest = jnp.minimum(closest, d)
+            if info:
+                better = d < best
+                idx = jnp.where(better, float(i), idx)
+                if "material_id" in s:
+                    mid = jnp.where(better, s["material_id"], mid)
+            best = jnp.minimum(best, d)
+        return (best, idx, mid) if info else best
+
+    # chunked
+    arr = refs.chunked[e.arr_idx]
+    nf = len(e.fields)
+    mid_fi = e.fields.index("material_id") if "material_id" in e.fields \
+        else -1
+
+    def exact():
+        def slot_body(s, carry):
+            if info:
+                best, idx, mid = carry
+            else:
+                best = carry
+            prm = {f: _rep(arr, s * nf + fi, shape)
+                   for fi, f in enumerate(e.fields)}
+            d = e.ptype.sdf_planar(prm, px, py, pz)
+            d = jnp.where(s < (cnt if cnt is not None else e.n), d, BIG)
+            if info:
+                better = d < best
+                idx = jnp.where(better, s.astype(jnp.float32), idx)
+                if mid_fi >= 0:
+                    mid = jnp.where(better, prm["material_id"], mid)
+                return jnp.minimum(best, d), idx, mid
+            return jnp.minimum(best, d)
+
+        n_slots = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
+        init = jnp.full(shape, max_dist, jnp.float32)
+        if info:
+            init = (init, jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32))
+        return jax.lax.fori_loop(0, n_slots, slot_body, init)
+
+    if e.sph_idx < 0 or margin is None or info:
+        return exact()
+
+    sph = refs.spheres[e.sph_idx]
+    lbg = jnp.sqrt((px - _rep(sph, 0, shape)) ** 2
+                   + (py - _rep(sph, 1, shape)) ** 2
+                   + (pz - _rep(sph, 2, shape)) ** 2) \
+        - _rep(sph, 3, shape)
+    d = jax.lax.cond(jnp.min(lbg) < margin, exact,
+                     lambda: jnp.full(shape, BIG, jnp.float32))
+    return jnp.where(lbg < margin, d, jnp.minimum(lbg, max_dist))
+
+
+def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None):
+    closest = jnp.full(px.shape, max_dist, jnp.float32)
+    for e in plan.entries:
+        closest = jnp.minimum(closest, _entry_min(
+            plan, e, refs, px, py, pz, max_dist, margin, info=False))
     return closest
 
 
-def _scene_dist_info(plan: ScenePlan, params_ref, counts_ref, px, py, pz,
-                     max_dist):
+def _scene_dist_info(plan, refs, px, py, pz, max_dist):
     """(closest, global index, material id) — closest_primitive_info
-    (madarch-scenes.adb:631-674) inside the kernel.  Index -1 on miss."""
+    (madarch-scenes.adb:631-674) inside the kernel.  Index -1 on miss.
+    Always exact (no far-field short-circuit)."""
     closest = jnp.full(px.shape, max_dist, jnp.float32)
-    index = jnp.full(px.shape, -1, jnp.int32)
-    mid = jnp.zeros(px.shape, jnp.int32)
-    for t_idx, (ptype, n, scalars, goff) in enumerate(plan.entries):
-        cnt = None if plan.static_counts else counts_ref[t_idx, 0]
-        for i in range(n):
-            s = {name: params_ref[off + i, 0] for name, off in scalars}
-            d = ptype.sdf_planar(s, px, py, pz)
-            if cnt is not None:
-                d = jnp.where(i < cnt, d, max_dist)
-            better = d < closest
-            index = jnp.where(better, goff + i, index)
-            if "material_id" in s:
-                mid = jnp.where(better, s["material_id"].astype(jnp.int32),
-                                mid)
-            closest = jnp.minimum(closest, d)
-    return closest, index, mid
+    index = jnp.full(px.shape, -1.0, jnp.float32)
+    mid = jnp.zeros(px.shape, jnp.float32)
+    for e in plan.entries:
+        d, idx, m = _entry_min(plan, e, refs, px, py, pz, max_dist,
+                               margin=None, info=True)
+        better = d < closest
+        index = jnp.where(better, e.goff + idx, index)
+        mid = jnp.where(better, m, mid)
+        closest = jnp.minimum(closest, d)
+    return closest, index.astype(jnp.int32), mid.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +416,8 @@ def _scene_dist_info(plan: ScenePlan, params_ref, counts_ref, px, py, pz,
 # while loop).
 # ---------------------------------------------------------------------------
 
-def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega):
+def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega,
+                   unroll=UNROLL):
     """Over-relaxed sphere trace; returns final t (raymarching.glsl:25-37
     with the Keinert backtrack — exact, see render/raymarch.py)."""
     ox, oy, oz = o
@@ -197,8 +430,8 @@ def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega):
 
     def body(state):
         step, t, active, prev_r, step_len, om = state
-        for j in range(UNROLL):
-            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz)
+        for j in range(unroll):
+            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz, active)
             fail = jnp.where(om > 1.0, 1.0, 0.0) \
                 * jnp.where(jnp.abs(dist) + prev_r <= step_len, 1.0, 0.0)
             hit = (1.0 - fail) * jnp.where(dist < eps, 1.0, 0.0)
@@ -211,7 +444,7 @@ def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega):
             prev_r = jnp.where(still > 0.5, jnp.abs(dist), prev_r)
             step_len = jnp.where(still > 0.5, new_step, step_len)
             active = still * jnp.where(t < max_dist, 1.0, 0.0)
-        return step + UNROLL, t, active, prev_r, step_len, om
+        return step + unroll, t, active, prev_r, step_len, om
 
     _, t, _, _, _, _ = jax.lax.while_loop(
         cond, body,
@@ -221,7 +454,8 @@ def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega):
     return t
 
 
-def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega):
+def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega,
+                      unroll=UNROLL):
     """1 if the ray reaches its per-ray max unobstructed, else 0
     (raymarching.glsl:53-56)."""
     ox, oy, oz = o
@@ -234,8 +468,8 @@ def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega):
 
     def body(state):
         step, t, active, blocked, prev_r, step_len, om = state
-        for j in range(UNROLL):
-            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz)
+        for j in range(unroll):
+            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz, active)
             fail = jnp.where(om > 1.0, 1.0, 0.0) \
                 * jnp.where(jnp.abs(dist) + prev_r <= step_len, 1.0, 0.0)
             hit = (1.0 - fail) * jnp.where(dist < eps, 1.0, 0.0)
@@ -249,7 +483,7 @@ def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega):
             prev_r = jnp.where(still > 0.5, jnp.abs(dist), prev_r)
             step_len = jnp.where(still > 0.5, new_step, step_len)
             active = still * jnp.where(t < mx, 1.0, 0.0)
-        return step + UNROLL, t, active, blocked, prev_r, step_len, om
+        return step + unroll, t, active, blocked, prev_r, step_len, om
 
     t0 = jnp.zeros(shape, jnp.float32)
     active0 = en * jnp.where(t0 < mx, 1.0, 0.0)
@@ -262,7 +496,8 @@ def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega):
     return 1.0 - blocked
 
 
-def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k):
+def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k,
+                  unroll=UNROLL):
     """Cone-approx penumbra march (raymarching.glsl:4-23); ω=1 like the
     reference (the penumbra estimate needs every intermediate distance)."""
     ox, oy, oz = o
@@ -276,8 +511,8 @@ def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k):
 
     def body(state):
         step, t, res, prev, active, blocked = state
-        for j in range(UNROLL):
-            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz)
+        for j in range(unroll):
+            dist = scene(ox + t * dx, oy + t * dy, oz + t * dz, active)
             hit = jnp.where(dist < eps, 1.0, 0.0)
             in_step = jnp.where(step + j < max_steps, 1.0, 0.0)
             blocked = jnp.maximum(blocked, active * hit * in_step)
@@ -293,7 +528,7 @@ def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k):
             prev = jnp.where(still > 0.5, dist, prev)
             t = t + dist * still
             active = still * jnp.where(t < mx, 1.0, 0.0)
-        return step + UNROLL, t, res, prev, active, blocked
+        return step + unroll, t, res, prev, active, blocked
 
     t0 = mn
     active0 = en * jnp.where(t0 < mx, 1.0, 0.0)
@@ -305,69 +540,82 @@ def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k):
 
 
 # ---------------------------------------------------------------------------
-# Kernels.  Ray layout: six f32[rows, 128] arrays (+ per-ray scalars in the
+# Kernels.  Ray layout: f32[rows, 128] arrays (+ per-ray scalars in the
 # same layout).  Outputs are f32 (hit masks as 0/1).
 # ---------------------------------------------------------------------------
 
-def _raycast_kernel(plan, max_dist, eps, max_steps, omega,
-                    counts_ref, params_ref, ox, oy, oz, dx, dy, dz, en,
-                    t_out, hit_out):
-    def scene(px, py, pz):
-        return _scene_dist(plan, params_ref, counts_ref, px, py, pz,
-                           max_dist)
+def _raycast_kernel(plan, max_dist, eps, max_steps, omega, *args):
+    refs, rest = SceneRefs.split(plan, args)
+    ox, oy, oz, dx, dy, dz, en, t_out, hit_out = rest
+    margin = plan.margin
+
+    def scene(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     active0 = en[:]
     t = _march_primary(scene, o, d, active0, max_dist, eps, max_steps,
                        omega)
-    d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
+    d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2], None)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0)
     t_out[:] = t
     hit_out[:] = hit * active0
 
 
-def _visibility_kernel(plan, max_dist, eps, max_steps, omega,
-                       counts_ref, params_ref, ox, oy, oz, dx, dy, dz, mx,
-                       en, vis_out):
-    def scene(px, py, pz):
-        return _scene_dist(plan, params_ref, counts_ref, px, py, pz,
-                           max_dist)
+def _visibility_kernel(plan, max_dist, eps, max_steps, omega, *args):
+    refs, rest = SceneRefs.split(plan, args)
+    ox, oy, oz, dx, dy, dz, mx, en, vis_out = rest
+    margin = plan.margin
+
+    def scene(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
 
     vis_out[:] = _march_visibility(
         scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mx[:], en[:],
         eps, max_steps, omega)
 
 
-def _softshadow_kernel(plan, max_dist, eps, max_steps, k,
-                       counts_ref, params_ref, ox, oy, oz, dx, dy, dz, mn,
-                       mx, en, res_out):
-    def scene(px, py, pz):
-        return _scene_dist(plan, params_ref, counts_ref, px, py, pz,
-                           max_dist)
+def _softshadow_kernel(plan, max_dist, eps, max_steps, k, margin, *args):
+    refs, rest = SceneRefs.split(plan, args)
+    ox, oy, oz, dx, dy, dz, mn, mx, en, res_out = rest
+
+    def scene(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
 
     res_out[:] = _march_shadow(
         scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mn[:], mx[:],
         en[:], eps, max_steps, k)
 
 
-def _geometry_kernel(plan, cfg, counts_ref, params_ref, lpos_ref,
-                     ox, oy, oz, dx, dy, dz, en,
-                     t_out, hit_out, idx_out, mid_out, nx_out, ny_out,
-                     nz_out, ao_out, sh_out, vis_out):
+def _stack(rows):
+    return jnp.concatenate(rows, axis=0)
+
+
+def _geometry_kernel(plan, cfg, *args):
     """The fused march+classify+shade-geometry kernel.  ``cfg`` is the
     static tuple (max_dist, eps, max_steps, omega, n_lights, shadow_k,
-    surface_offset, ao_steps, ao_step_size, spacing xyz, dims xyz)."""
+    surface_offset, ao_steps, ao_step_size, spacing xyz, dims xyz,
+    want_ao, want_shadows, want_vis)."""
     (max_dist, eps, max_steps, omega, n_lights, shadow_k, surf_off,
-     ao_steps, ao_step, spx, spy, spz, dimx, dimy, dimz) = cfg
+     ao_steps, ao_step, spx, spy, spz, dimx, dimy, dimz,
+     want_ao, want_shadows, want_vis) = cfg
+    refs, rest = SceneRefs.split(plan, args)
+    (lpos_ref, ox, oy, oz, dx, dy, dz, en,
+     t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
+     sh_out, vis_out) = rest
+    margin = plan.margin
 
-    def scene(px, py, pz):
-        return _scene_dist(plan, params_ref, counts_ref, px, py, pz,
-                           max_dist)
+    def scene(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
+
+    def scene_exact(px, py, pz):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=None)
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     en0 = en[:]
+    R = en0.shape[0]
 
     # 1. primary sphere trace
     t = _march_primary(scene, o, d, en0, max_dist, eps, max_steps, omega)
@@ -376,38 +624,44 @@ def _geometry_kernel(plan, cfg, counts_ref, params_ref, lpos_ref,
     pz = o[2] + t * d[2]
 
     # 2. hit classification: distance + nearest primitive + material
-    d_end, idx, mid = _scene_dist_info(plan, params_ref, counts_ref,
-                                       px, py, pz, max_dist)
+    d_end, idx, mid = _scene_dist_info(plan, refs, px, py, pz, max_dist)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0) \
         * en0
 
-    # 3. tetrahedron-FD normal of the scene SDF (the autodiff-normal
-    # stand-in inside the kernel; h=1e-3 ≈ the hit epsilon)
+    # 3. tetrahedron-FD normal of the scene SDF: the four offset points
+    # stacked on the sublane axis -> ONE scene eval (h=1e-3 ≈ hit eps)
     h = NORMAL_H
+    tet = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
+           (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
+    f = scene_exact(_stack([px + s[0] * h for s in tet]),
+                    _stack([py + s[1] * h for s in tet]),
+                    _stack([pz + s[2] * h for s in tet]))
     gx = jnp.zeros_like(px)
     gy = jnp.zeros_like(px)
     gz = jnp.zeros_like(px)
-    for sx, sy, sz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
-                       (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0)):
-        f = scene(px + sx * h, py + sy * h, pz + sz * h)
-        gx = gx + sx * f
-        gy = gy + sy * f
-        gz = gz + sz * f
+    for k in range(4):
+        fk = f[k * R:(k + 1) * R]
+        gx = gx + tet[k][0] * fk
+        gy = gy + tet[k][1] * fk
+        gz = gz + tet[k][2] * fk
     norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-24)
     nx = gx / norm
     ny = gy / norm
     nz = gz / norm
 
-    # 4. ambient occlusion probes along the normal (lighting.glsl:51-69)
-    if ao_steps > 0:
+    # 4. ambient occlusion probes along the normal (lighting.glsl:51-69),
+    # all ao_steps offsets in ONE stacked scene eval
+    if ao_steps > 0 and want_ao:
+        hs = [(i + 1) * ao_step for i in range(ao_steps)]
+        fa = scene_exact(_stack([px + nx * hh for hh in hs]),
+                         _stack([py + ny * hh for hh in hs]),
+                         _stack([pz + nz * hh for hh in hs]))
         ao_sum = jnp.zeros_like(px)
         max_ao_sum = 0.0
         for i in range(ao_steps):
             factor = 1.0 / (2.0 ** i)
-            hh = (i + 1) * ao_step
-            ao_sum = ao_sum + factor * scene(px + nx * hh, py + ny * hh,
-                                             pz + nz * hh)
-            max_ao_sum = max_ao_sum + factor * hh
+            ao_sum = ao_sum + factor * fa[i * R:(i + 1) * R]
+            max_ao_sum = max_ao_sum + factor * hs[i]
         ao = 0.6 + 0.4 * ao_sum / max_ao_sum
     else:
         ao = jnp.ones_like(px)
@@ -418,9 +672,11 @@ def _geometry_kernel(plan, cfg, counts_ref, params_ref, lpos_ref,
     soz = pz + nz * surf_off
 
     # 5. per-light penumbra marches (lighting.glsl:27-36: origin offset,
-    # k=64, dir/dist to the light evaluated at the un-offset hit point)
-    for li in range(max(n_lights, 1)):
-        if li < n_lights:
+    # k=64, dir/dist to the light evaluated at the un-offset hit point),
+    # all lights stacked -> ONE march
+    if n_lights > 0 and want_shadows:
+        sdx, sdy, sdz, smx, sen = [], [], [], [], []
+        for li in range(n_lights):
             lx = lpos_ref[3 * li + 0, 0]
             ly = lpos_ref[3 * li + 1, 0]
             lz = lpos_ref[3 * li + 2, 0]
@@ -433,33 +689,58 @@ def _geometry_kernel(plan, cfg, counts_ref, params_ref, lpos_ref,
             ldy = tly * inv
             ldz = tlz * inv
             ndotl = nx * ldx + ny * ldy + nz * ldz
-            sh_en = hit * jnp.where(ndotl > EPSILON, 1.0, 0.0)
-            sh = _march_shadow(scene, (sox, soy, soz), (ldx, ldy, ldz),
-                               jnp.zeros_like(px), ldist, sh_en, eps,
-                               max_steps, shadow_k)
-            sh_out[li] = sh
-        else:
+            sdx.append(ldx)
+            sdy.append(ldy)
+            sdz.append(ldz)
+            smx.append(ldist)
+            sen.append(hit * jnp.where(ndotl > EPSILON, 1.0, 0.0))
+        sh = _march_shadow(
+            scene, (_stack([sox] * n_lights), _stack([soy] * n_lights),
+                    _stack([soz] * n_lights)),
+            (_stack(sdx), _stack(sdy), _stack(sdz)),
+            jnp.zeros((n_lights * R, LANES), jnp.float32), _stack(smx),
+            _stack(sen), eps, max_steps, shadow_k)
+        for li in range(n_lights):
+            sh_out[li] = sh[li * R:(li + 1) * R]
+    else:
+        for li in range(max(n_lights, 1)):
             sh_out[li] = jnp.ones_like(px)
 
     # 6. 8-corner probe visibility marches (render_probes.glsl:30-45):
     # corners of the probe-grid cell containing the hit point, clamped to
-    # the grid; dir/dist from the un-offset hit point.
-    cellx = jnp.floor(px / spx)
-    celly = jnp.floor(py / spy)
-    cellz = jnp.floor(pz / spz)
-    for k in range(8):
-        cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0, float(dimx - 1))
-        cy = jnp.clip(celly + float((k >> 1) & 1), 0.0, float(dimy - 1))
-        cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0, float(dimz - 1))
-        wx = cx * spx - px
-        wy = cy * spy - py
-        wz = cz * spz - pz
-        pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz), 1e-6)
-        inv = 1.0 / pdist
+    # the grid; dir/dist from the un-offset hit point — ONE stacked march.
+    if want_vis:
+        cellx = jnp.floor(px / spx)
+        celly = jnp.floor(py / spy)
+        cellz = jnp.floor(pz / spz)
+        vdx, vdy, vdz, vmx = [], [], [], []
+        for k in range(8):
+            cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0,
+                          float(dimx - 1))
+            cy = jnp.clip(celly + float((k >> 1) & 1), 0.0,
+                          float(dimy - 1))
+            cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0,
+                          float(dimz - 1))
+            wx = cx * spx - px
+            wy = cy * spy - py
+            wz = cz * spz - pz
+            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
+                                1e-6)
+            inv = 1.0 / pdist
+            vdx.append(wx * inv)
+            vdy.append(wy * inv)
+            vdz.append(wz * inv)
+            vmx.append(pdist - surf_off)
         vis = _march_visibility(
-            scene, (sox, soy, soz), (wx * inv, wy * inv, wz * inv),
-            pdist - surf_off, hit, eps, max_steps, omega)
-        vis_out[k] = vis
+            scene, (_stack([sox] * 8), _stack([soy] * 8),
+                    _stack([soz] * 8)),
+            (_stack(vdx), _stack(vdy), _stack(vdz)), _stack(vmx),
+            _stack([hit] * 8), eps, max_steps, omega)
+        for k in range(8):
+            vis_out[k] = vis[k * R:(k + 1) * R]
+    else:
+        for k in range(8):
+            vis_out[k] = jnp.ones_like(px)
 
     t_out[:] = t
     hit_out[:] = hit
@@ -502,6 +783,22 @@ def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+def _vmem_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _scene_specs(plan):
+    """in_specs for the PackedScene args, matching SceneRefs.split order."""
+    n_c = sum(1 for e in plan.entries if e.kind == "c")
+    n_s = sum(1 for e in plan.entries if e.kind == "c" and e.sph_idx >= 0)
+    return [_smem_spec(), _smem_spec()] + [_vmem_spec()] * (n_c + n_s)
+
+
+def _scene_args(packed):
+    return (packed.counts, packed.vec) + tuple(packed.chunked) \
+        + tuple(packed.spheres)
+
+
 def _common(n):
     n_pad, rows = _ray_layout(n)
     grid = (rows // TILE_ROWS,)
@@ -512,7 +809,7 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def pallas_raycast(plan, params_vec, counts, origins, dirs, max_dist, *,
+def pallas_raycast(plan, packed, origins, dirs, max_dist, *,
                    eps=EPSILON, max_steps=300, enabled=None, omega=1.6):
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
@@ -527,19 +824,19 @@ def pallas_raycast(plan, params_vec, counts, origins, dirs, max_dist, *,
     t, hit = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[_smem_spec(), _smem_spec()] + [_tile_spec()] * 7,
+        in_specs=_scene_specs(plan) + [_tile_spec()] * 7,
         out_specs=(_tile_spec(), _tile_spec()),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
         interpret=_interpret(),
-    )(counts, params_vec, *o, *d, en)
+    )(*_scene_args(packed), *o, *d, en)
     t = t.reshape(-1)[:n]
     hit = hit.reshape(-1)[:n] > 0.5
     pos = origins + t[:, None] * dirs
     return t, hit, pos
 
 
-def pallas_visibility(plan, params_vec, counts, origins, dirs, max_dists, *,
+def pallas_visibility(plan, packed, origins, dirs, max_dists, *,
                       eps=EPSILON, max_steps=300, enabled=None, omega=1.6):
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
@@ -551,26 +848,20 @@ def pallas_visibility(plan, params_vec, counts, origins, dirs, max_dists, *,
           else enabled.astype(jnp.float32))
     en = _to_rows(en, n_pad, 0.0)
 
-    kern = partial(_visibility_kernel, plan, float(max_dists_bound(max_dists)),
-                   float(eps), int(max_steps), float(omega))
+    kern = partial(_visibility_kernel, plan, 1e4, float(eps),
+                   int(max_steps), float(omega))
     vis = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[_smem_spec(), _smem_spec()] + [_tile_spec()] * 8,
+        in_specs=_scene_specs(plan) + [_tile_spec()] * 8,
         out_specs=_tile_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(counts, params_vec, *o, *d, mx, en)
+    )(*_scene_args(packed), *o, *d, mx, en)
     return vis.reshape(-1)[:n]
 
 
-def max_dists_bound(max_dists):
-    """Static clamp used inside _scene_dist; any generous bound works —
-    distances only need to exceed the hit epsilon comparisons."""
-    return 1e4
-
-
-def pallas_softshadows(plan, params_vec, counts, origins, dirs, min_dists,
+def pallas_softshadows(plan, packed, origins, dirs, min_dists,
                        max_dists, k, *, eps=EPSILON, max_steps=300,
                        enabled=None):
     n = origins.shape[0]
@@ -585,27 +876,34 @@ def pallas_softshadows(plan, params_vec, counts, origins, dirs, min_dists,
           else enabled.astype(jnp.float32))
     en = _to_rows(en, n_pad, 0.0)
 
+    # the far-field short-circuit underestimates penumbras for small k
+    # (see FAR_MARGIN); stay exact unless k·margin comfortably clears 1
+    margin = FAR_MARGIN if k >= 32.0 else None
     kern = partial(_softshadow_kernel, plan, 1e4, float(eps),
-                   int(max_steps), float(k))
+                   int(max_steps), float(k), margin)
     res = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[_smem_spec(), _smem_spec()] + [_tile_spec()] * 9,
+        in_specs=_scene_specs(plan) + [_tile_spec()] * 9,
         out_specs=_tile_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(counts, params_vec, *o, *d, mn, mx, en)
+    )(*_scene_args(packed), *o, *d, mn, mx, en)
     return res.reshape(-1)[:n]
 
 
-def pallas_geometry(plan, params_vec, counts, lpos_vec, n_lights, origins,
+def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
                     dirs, max_dist, *, probe_spacing, probe_dims,
                     surface_offset, ao_steps, ao_step_size=0.1,
                     shadow_k=64.0, eps=EPSILON, max_steps=300, enabled=None,
-                    omega=1.6):
+                    omega=1.6, want_ao=True, want_shadows=True,
+                    want_vis=True):
     """Fused geometry pass: returns a dict with t, hit (bool), idx (i32
     global primitive index, -1 on miss), mid (i32 material id), normal
-    f32[N,3], ao f32[N], shadows f32[L,N], vis8 f32[8,N]."""
+    f32[N,3], ao f32[N], shadows f32[L,N], vis8 f32[8,N].
+
+    The ``want_*`` flags statically skip unused marches (reflection-ray
+    calls need no AO; see render/shading.py) — skipped outputs are 1s."""
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
     o = [_to_rows(origins[:, i], n_pad, 0.0) for i in range(3)]
@@ -620,7 +918,8 @@ def pallas_geometry(plan, params_vec, counts, lpos_vec, n_lights, origins,
            int(ao_steps), float(ao_step_size),
            float(probe_spacing[0]), float(probe_spacing[1]),
            float(probe_spacing[2]),
-           int(probe_dims[0]), int(probe_dims[1]), int(probe_dims[2]))
+           int(probe_dims[0]), int(probe_dims[1]), int(probe_dims[2]),
+           bool(want_ao), bool(want_shadows), bool(want_vis))
     kern = partial(_geometry_kernel, plan, cfg)
 
     f32 = jnp.float32
@@ -642,12 +941,11 @@ def pallas_geometry(plan, params_vec, counts, lpos_vec, n_lights, origins,
     t, hit, idx, mid, nx, ny, nz, ao, sh, vis = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[_smem_spec(), _smem_spec(), _smem_spec()]
-        + [_tile_spec()] * 7,
+        in_specs=_scene_specs(plan) + [_smem_spec()] + [_tile_spec()] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(counts, params_vec, lpos_vec, *o, *d, en)
+    )(*_scene_args(packed), lpos_vec, *o, *d, en)
 
     def unpad(a):
         return a.reshape(-1)[:n]

@@ -60,32 +60,29 @@ class SceneCtx:
         self.sdf_b_diff = jax.vmap(lambda p: scene_sdf(spec, data, p))
         self.max_dist = spec.max_dist
 
-        # Marches always evaluate the full scene *densely* (vectorized over
+        # Marches evaluate the full scene *densely* (vectorized over
         # slots), chunked over rays to bound the [rays, slots] working set.
         # The reference's per-ray candidate-list iteration
         # (partitioning_closest, madarch-scenes.adb:839-1118) is the wrong
         # shape for this hardware: each candidate fetch is a gather, TPU
         # gathers run on the scalar unit, and a measured 968-triangle march
         # was 47× SLOWER through [rays, K] candidate gathers than through
-        # brute-force dense slot evaluation on the VPU.  The uniform grid
-        # remains the host/query-side structure (grid_closest, builders) and
-        # feeds the march-bound tables of the kernel path.
+        # brute-force dense slot evaluation on the VPU.  The kernel path's
+        # mesh-scale answer is the chunked layout + global-sphere far-field
+        # short-circuit in ops/march.py; the uniform grid remains the
+        # host/query-side structure (grid_closest, builders).
         n_slots = sum(n for _, _, n, _ in spec.prim_bounds())
         chunky = n_slots > CHUNK_SLOT_THRESHOLD
         self.sdf_b = lambda p: _chunked_vmap(
             lambda q: scene_sdf(spec, data_sg, q), p, want_chunks=chunky)
 
         self.plan = march_ops.build_plan(spec) if _kernels_enabled() else None
-        if (self.plan is not None and self.plan.total_capacity <= 128
-                and data.grid is None):
-            self.params_vec, self.counts = march_ops.pack_params(
-                self.plan, data_sg)
+        if self.plan is not None:
+            self.packed = march_ops.pack_params(self.plan, data_sg)
             self.lpos_vec, self.n_light_slots = \
                 march_ops.pack_light_positions(spec, data_sg)
         else:
-            # large scenes march through the grid; the grid-aware Pallas
-            # kernel is future work — XLA path meanwhile
-            self.plan = None
+            self.packed = None
             self.lpos_vec, self.n_light_slots = None, 0
 
     @property
@@ -99,14 +96,18 @@ class SceneCtx:
         shadow-ray target)."""
         return self.plan is not None and self.lpos_vec is not None
 
-    def geometry(self, origins, dirs, probes, cfg, enabled=None):
-        """Run the fused march+classify+shadow+probe-visibility kernel."""
+    def geometry(self, origins, dirs, probes, cfg, enabled=None,
+                 want_ao=True, want_shadows=True, want_vis=True):
+        """Run the fused march+classify+shadow+probe-visibility kernel.
+        ``want_*`` statically skip marches the caller discards
+        (reflection-ray calls need no AO)."""
         from madarch_tpu.render.raymarch import SURFACE_OFFSET
         return march_ops.pallas_geometry(
-            self.plan, self.params_vec, self.counts, self.lpos_vec,
+            self.plan, self.packed, self.lpos_vec,
             self.n_light_slots, origins, dirs, self.max_dist,
             probe_spacing=probes.grid_spacing,
             probe_dims=probes.grid_dimensions,
             surface_offset=SURFACE_OFFSET,
             ao_steps=cfg.ambient_occlusion_steps,
-            max_steps=cfg.max_march_steps, enabled=enabled)
+            max_steps=cfg.max_march_steps, enabled=enabled,
+            want_ao=want_ao, want_shadows=want_shadows, want_vis=want_vis)

@@ -76,7 +76,7 @@ def raycast(sdf, origins, dirs, max_dist, *, eps=EPSILON,
     sdf_b, ctx = _as_closure(sdf)
     if ctx is not None:
         from madarch_tpu.ops.march import pallas_raycast
-        return pallas_raycast(ctx.plan, ctx.params_vec, ctx.counts, origins,
+        return pallas_raycast(ctx.plan, ctx.packed, origins,
                               dirs, max_dist, eps=eps, max_steps=max_steps,
                               enabled=enabled, omega=omega)
     n = origins.shape[0]
@@ -124,7 +124,7 @@ def raycast_visibility(sdf, origins, dirs, max_dists, *, eps=EPSILON,
     sdf_b, ctx = _as_closure(sdf)
     if ctx is not None:
         from madarch_tpu.ops.march import pallas_visibility
-        return pallas_visibility(ctx.plan, ctx.params_vec, ctx.counts,
+        return pallas_visibility(ctx.plan, ctx.packed,
                                  origins, dirs, max_dists, eps=eps,
                                  max_steps=max_steps, enabled=enabled,
                                  omega=omega)
@@ -176,7 +176,7 @@ def softshadows(sdf, origins, dirs, min_dists, max_dists, k, *,
     sdf_b, ctx = _as_closure(sdf)
     if ctx is not None:
         from madarch_tpu.ops.march import pallas_softshadows
-        return pallas_softshadows(ctx.plan, ctx.params_vec, ctx.counts,
+        return pallas_softshadows(ctx.plan, ctx.packed,
                                   origins, dirs, min_dists, max_dists, k,
                                   eps=eps, max_steps=max_steps,
                                   enabled=enabled)

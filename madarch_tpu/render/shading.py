@@ -121,7 +121,8 @@ def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
 
 
 def _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
-                         spec_dir, *, enabled, need_vis=True):
+                         spec_dir, *, enabled, need_vis=True,
+                         need_shadows=True):
     """Shared secondary-ray geometry for the specular modes: raycast +
     nearest-primitive info (+ probe visibility around the reflection hit).
     Uses the fused kernel when available, else the XLA path.  Returns
@@ -129,11 +130,14 @@ def _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
     """
     ctx = _fused_ctx(sdf_b, cfg)
     if ctx is not None:
+        # reflection rays never need AO (render_probes.glsl modes 2/3 use
+        # only visibility + shadow terms at the reflection hit)
         g = ctx.geometry(from_, spec_dir, probe_settings, cfg,
-                         enabled=enabled)
+                         enabled=enabled, want_ao=False,
+                         want_shadows=need_shadows, want_vis=need_vis)
         spec_pos = from_ + g["t"][:, None] * spec_dir
         return (g["hit"], spec_pos, g["normal"], g["mid"], g["vis8"],
-                g["shadows"])
+                g["shadows"] if need_shadows else None)
 
     t, hit, spec_pos = raycast(sdf_b, from_, spec_dir, spec.max_dist,
                                enabled=enabled,
@@ -186,7 +190,8 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
     from_ = pos + normal * SURFACE_OFFSET
     hit, spec_pos, spec_normal_v, spec_mid, vis, shadows = \
         _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
-                             spec_dir, enabled=enabled)
+                             spec_dir, enabled=enabled,
+                             need_shadows=cfg.add_indirect_specular)
 
     grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
     offsets = jnp.asarray(

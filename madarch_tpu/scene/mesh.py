@@ -168,13 +168,31 @@ def bake_distance_map(mesh: Mesh, dims, lo, hi, batch=8192):
     return out_d.reshape(dims), out_n.reshape(dims + (3,))
 
 
+def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Z-order sort keys for [N,3] points: spatially adjacent points land
+    in adjacent slots, which tightens the Pallas kernel's per-chunk
+    bounding spheres (ops/march.py chunked layout)."""
+    lo = points.min(axis=0)
+    extent = np.maximum(points.max(axis=0) - lo, 1e-9)
+    q = ((points - lo) / extent * ((1 << bits) - 1)).astype(np.int64)
+    key = np.zeros(len(points), np.int64)
+    for b in range(bits):
+        for a in range(3):
+            key |= ((q[:, a] >> b) & 1) << (3 * b + a)
+    return np.argsort(key, kind="stable")
+
+
 def add_mesh_to_renderer(renderer, mesh: Mesh, material_id: int,
-                         offset=(0.0, 0.0, 0.0)):
+                         offset=(0.0, 0.0, 0.0), order="morton"):
     """Add every triangle as a Triangle primitive (obj_mesh/main.adb
-    Add_Triangle + Iterate_Triangles)."""
+    Add_Triangle + Iterate_Triangles).  ``order="morton"`` (default)
+    inserts triangles in Z-order — scene order is semantically free, and
+    spatial coherence makes the march kernel's chunk bounds tight."""
     from madarch_tpu.scene.primitives import Triangle
     off = np.asarray(offset, np.float32)
     tv = mesh.triangle_vertices() + off
+    if order == "morton":
+        tv = tv[morton_order(tv.mean(axis=1))]
     for a, b, c in tv:
         renderer.add_primitive(Triangle, v1=a, v2=b, v3=c,
                                material_id=material_id)

@@ -59,6 +59,11 @@ class PrimitiveType:
     # (vec3 fields appear as name_x/name_y/name_z), px/py/pz are tile-shaped
     # arrays.  None => the type is excluded from the kernel fast path.
     sdf_planar: Optional[Callable] = None  # (params, px, py, pz) -> dist
+    # Spatial extent per instance for the chunked kernel layout's bounding
+    # spheres: (batched params dict [n,...]) -> (lo f32[n,3], hi f32[n,3]).
+    # None => unbounded (planes) or unknown: no chunk culling / far-field
+    # short-circuit for this type.
+    bounds: Optional[Callable] = None
 
     def distance(self, params, p):
         return self.sdf(params, p)
@@ -93,12 +98,18 @@ def _sphere_sdf_planar(s, px, py, pz):
     return jnp.sqrt(dx * dx + dy * dy + dz * dz) - s["radius"]
 
 
+def _sphere_bounds(params):
+    r = params["radius"][:, None]
+    return params["center"] - r, params["center"] + r
+
+
 Sphere = PrimitiveType(
     name="sphere",
     fields=(("center", VEC3), ("radius", FLOAT), ("material_id", INT)),
     sdf=_sphere_sdf,
     normal=_sphere_normal,
     sdf_planar=_sphere_sdf_planar,
+    bounds=_sphere_bounds,
 )
 
 
@@ -166,12 +177,18 @@ def _box_sdf_planar(s, px, py, pz):
     return outside + inside
 
 
+def _box_bounds(params):
+    return (params["center"] - params["side"],
+            params["center"] + params["side"])
+
+
 Box = PrimitiveType(
     name="box",
     fields=(("center", VEC3), ("side", VEC3), ("material_id", INT)),
     sdf=_box_sdf,
     normal=_box_normal,
     sdf_planar=_box_sdf_planar,
+    bounds=_box_bounds,
 )
 
 
@@ -247,12 +264,18 @@ def _triangle_sdf_planar(s, px, py, pz):
                                 1e-30))
 
 
+def _triangle_bounds(params):
+    vs = jnp.stack([params["v1"], params["v2"], params["v3"]])  # [3,n,3]
+    return vs.min(axis=0), vs.max(axis=0)
+
+
 Triangle = PrimitiveType(
     name="triangle",
     fields=(("v1", VEC3), ("v2", VEC3), ("v3", VEC3), ("material_id", INT)),
     sdf=_triangle_sdf,
     normal=None,  # jax.grad of the SDF, normalized
     sdf_planar=_triangle_sdf_planar,
+    bounds=_triangle_bounds,
 )
 
 

@@ -46,61 +46,63 @@ def scene():
     spec, data = build_scene()
     plan = M.build_plan(spec)
     assert plan is not None
-    vec, counts = M.pack_params(plan, data)
+    packed = M.pack_params(plan, data)
     sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
-    return spec, data, plan, vec, counts, sdf_b
+    return spec, data, plan, packed, sdf_b
 
 
 def test_plan_layout(scene):
-    spec, data, plan, vec, counts, _ = scene
+    spec, data, plan, packed, _ = scene
     assert plan.total_capacity == 14
-    np.testing.assert_array_equal(np.asarray(counts).ravel(), [2, 1, 1])
+    assert all(e.kind == "u" for e in plan.entries)  # small scene: unrolled
+    np.testing.assert_array_equal(np.asarray(packed.counts).ravel(),
+                                  [2, 1, 1])
     # sphere center_x of slot 0 is the first packed scalar
-    assert float(vec[0, 0]) == 0.0
+    assert float(packed.vec[0, 0]) == 0.0
     # radius block: after center_x/y/z (3*4 values)
-    assert np.isclose(float(vec[12, 0]), 1.0)
-    assert np.isclose(float(vec[13, 0]), 0.7)
+    assert np.isclose(float(packed.vec[12, 0]), 1.0)
+    assert np.isclose(float(packed.vec[13, 0]), 0.7)
 
 
 def test_raycast_parity(scene):
-    spec, data, plan, vec, counts, sdf_b = scene
+    spec, data, plan, packed, sdf_b = scene
     origins, dirs = rand_rays(64)
     t_ref, hit_ref, pos_ref = rm.raycast(sdf_b, origins, dirs, 20.0)
-    t_k, hit_k, pos_k = M.pallas_raycast(plan, vec, counts, origins, dirs,
+    t_k, hit_k, pos_k = M.pallas_raycast(plan, packed, origins, dirs,
                                          20.0)
     np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_ref))
     np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
 
 
 def test_raycast_parity_enabled_mask(scene):
-    spec, data, plan, vec, counts, sdf_b = scene
+    spec, data, plan, packed, sdf_b = scene
     origins, dirs = rand_rays(32, seed=3)
     enabled = jnp.asarray(np.random.RandomState(4).rand(32) > 0.5)
     t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0,
                                    enabled=enabled)
-    t_k, hit_k, _ = M.pallas_raycast(plan, vec, counts, origins, dirs, 20.0,
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0,
                                      enabled=enabled)
     np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_ref))
     np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
 
 
 def test_visibility_parity(scene):
-    spec, data, plan, vec, counts, sdf_b = scene
+    spec, data, plan, packed, sdf_b = scene
     origins, dirs = rand_rays(64, seed=1)
     max_dists = jnp.asarray(
         np.random.RandomState(2).uniform(0.5, 10.0, 64), jnp.float32)
     v_ref = rm.raycast_visibility(sdf_b, origins, dirs, max_dists)
-    v_k = M.pallas_visibility(plan, vec, counts, origins, dirs, max_dists)
+    v_k = M.pallas_visibility(plan, packed, origins, dirs, max_dists)
     np.testing.assert_allclose(v_k, v_ref)
 
 
 def test_softshadows_parity(scene):
-    spec, data, plan, vec, counts, sdf_b = scene
+    spec, data, plan, packed, sdf_b = scene
     origins, dirs = rand_rays(64, seed=5)
     max_dists = jnp.full((64,), 12.0, jnp.float32)
     s_ref = rm.softshadows(sdf_b, origins, dirs, jnp.zeros(64), max_dists,
                            64.0)
-    s_k = M.pallas_softshadows(plan, vec, counts, origins, dirs,
+    s_k = M.pallas_softshadows(plan, packed, origins, dirs,
                                jnp.zeros(64), max_dists, 64.0)
     np.testing.assert_allclose(s_k, s_ref, rtol=1e-5, atol=1e-5)
 
@@ -139,13 +141,13 @@ def test_geometry_kernel_parity(scene):
     from madarch_tpu.scene.scene import (primitive_material_id,
                                          scene_sdf_info)
 
-    spec, data, plan, vec, counts, sdf_b = scene
+    spec, data, plan, packed, sdf_b = scene
     origins, dirs = rand_rays(96, seed=11)
     lpos, n_lights = M.pack_light_positions(spec, data)
     assert n_lights == 1
     spacing = (2.0, 3.0, 3.0)
     dims = (4, 3, 3)
-    g = M.pallas_geometry(plan, vec, counts, lpos, n_lights, origins, dirs,
+    g = M.pallas_geometry(plan, packed, lpos, n_lights, origins, dirs,
                           20.0, probe_spacing=spacing, probe_dims=dims,
                           surface_offset=rm.SURFACE_OFFSET, ao_steps=3)
 
@@ -205,3 +207,115 @@ def test_geometry_kernel_parity(scene):
             enabled=g["hit"])
         np.testing.assert_allclose(np.asarray(g["vis8"][k])[hits],
                                    np.asarray(v_ref)[hits])
+
+
+# ---------------------------------------------------------------------------
+# Chunked layout (> UNROLL_SLOTS_MAX slots): the obj_mesh-scale path.
+# ---------------------------------------------------------------------------
+
+def build_chunked_scene(n_tris=40):
+    """Triangle fan + floor plane: triangles exceed UNROLL_SLOTS_MAX so the
+    plan takes the chunked VMEM layout with bounding spheres."""
+    spec = SceneSpec(prims=((P.Triangle, n_tris), (P.Plane, 2)),
+                     lights=((L.PointLight, 1),), max_dist=20.0)
+    spec = spec.specialized({"triangle": n_tris, "plane": 1},
+                            {"point_light": 1})
+    b = SceneBuilder(spec)
+    b.add_material((0.5, 0.5, 0.5), 0.0, 0.5)
+    rng = np.random.RandomState(3)
+    for i in range(n_tris):
+        c = rng.uniform(-2.0, 2.0, 3) + np.array([0.0, 1.5, 5.0])
+        v = c + rng.uniform(-0.4, 0.4, (3, 3))
+        b.add_primitive(P.Triangle, v1=v[0], v2=v[1], v3=v[2],
+                        material_id=0)
+    b.add_primitive(P.Plane, normal=(0.0, 1.0, 0.0), offset=1.0,
+                    material_id=0)
+    b.add_light(L.PointLight, position=(0.0, 5.0, 3.0), color=(1.0,) * 3)
+    return spec, b.device_data()
+
+
+@pytest.fixture(scope="module")
+def chunked_scene():
+    spec, data = build_chunked_scene()
+    plan = M.build_plan(spec)
+    assert plan is not None
+    packed = M.pack_params(plan, data)
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    return spec, data, plan, packed, sdf_b
+
+
+def test_chunked_plan_layout(chunked_scene):
+    spec, data, plan, packed, _ = chunked_scene
+    kinds = {e.ptype.name: e.kind for e in plan.entries}
+    assert kinds == {"triangle": "c", "plane": "u"}
+    tri = next(e for e in plan.entries if e.ptype.name == "triangle")
+    assert tri.sph_idx == 0 and tri.n_chunks == -(-40 // M.CHUNK)
+    assert plan.margin == M.FAR_MARGIN
+    assert len(packed.chunked) == 1 and len(packed.spheres) == 1
+    # replicated rows: all lanes equal
+    arr = np.asarray(packed.chunked[0])
+    np.testing.assert_array_equal(arr[:, 0], arr[:, 63])
+    # spheres contain their geometry (global: all vertices; chunks: their
+    # slots' vertices)
+    sph = np.asarray(packed.spheres[0])[:, 0].reshape(-1, 4)
+    g, chunks = sph[0], sph[1:]
+    verts = np.stack([np.asarray(data.prims["triangle"][k][:40])
+                      for k in ("v1", "v2", "v3")], axis=1)  # [n,3,3]
+    d_all = np.linalg.norm(verts.reshape(-1, 3) - g[:3], axis=1)
+    assert (d_all <= g[3] + 1e-4).all()
+    for c in range(len(chunks)):
+        vs = verts[c * M.CHUNK:(c + 1) * M.CHUNK].reshape(-1, 3)
+        if len(vs) == 0:
+            continue
+        d_c = np.linalg.norm(vs - chunks[c, :3], axis=1)
+        assert (d_c <= chunks[c, 3] + 1e-4).all()
+
+
+def test_chunked_raycast_parity(chunked_scene):
+    """Hit flags equal; hit t within the margin-path tolerance; misses
+    land at/after max_dist on both paths."""
+    spec, data, plan, packed, sdf_b = chunked_scene
+    origins, dirs = rand_rays(64, seed=21)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    hit_ref = np.asarray(hit_ref)
+    hit_k = np.asarray(hit_k)
+    agree = hit_ref == hit_k
+    assert agree.mean() >= 0.98, "hit flags diverged beyond grazing noise"
+    both = hit_ref & hit_k
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
+    miss = ~hit_ref & ~hit_k
+    assert (np.asarray(t_k)[miss] >= 20.0 - 1e-3).all()
+
+
+def test_chunked_visibility_parity(chunked_scene):
+    spec, data, plan, packed, sdf_b = chunked_scene
+    origins, dirs = rand_rays(64, seed=22)
+    max_dists = jnp.full((64,), 10.0, jnp.float32)
+    v_ref = np.asarray(rm.raycast_visibility(sdf_b, origins, dirs,
+                                             max_dists))
+    v_k = np.asarray(M.pallas_visibility(plan, packed, origins, dirs,
+                                         max_dists))
+    assert (v_ref == v_k).mean() >= 0.98
+
+
+def test_chunked_geometry_smoke(chunked_scene):
+    """Fused geometry kernel runs on a chunked scene and classifies hits
+    with in-range indices/materials and unit normals."""
+    spec, data, plan, packed, sdf_b = chunked_scene
+    origins, dirs = rand_rays(32, seed=23)
+    lpos, n_lights = M.pack_light_positions(spec, data)
+    g = M.pallas_geometry(plan, packed, lpos, n_lights, origins, dirs,
+                          20.0, probe_spacing=(2.0, 3.0, 3.0),
+                          probe_dims=(4, 3, 3),
+                          surface_offset=rm.SURFACE_OFFSET, ao_steps=3)
+    hits = np.asarray(g["hit"])
+    assert hits.any()
+    idx = np.asarray(g["idx"])
+    assert (idx[hits] >= 0).all() and (idx[hits] < 42).all()
+    n = np.asarray(g["normal"])[hits]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-3)
+    assert np.isfinite(np.asarray(g["ao"])).all()
+    assert np.asarray(g["shadows"]).shape == (1, 32)
+    assert np.asarray(g["vis8"]).shape == (8, 32)
