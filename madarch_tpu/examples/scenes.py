@@ -91,35 +91,74 @@ def global_illumination(width=1000, height=1000, time: float = 0.0,
 
 
 def light_shafts(width=1000, height=1000, **kwargs) -> Renderer:
-    """examples/light_shafts/main.adb: the GI room with a point light and
-    volumetrics enabled (default settings)."""
+    """examples/light_shafts/main.adb: the room with fully-rough matte
+    materials (black walls, red +x, GREEN -x), a blue sphere, a green box,
+    a white point light at (5,3,6), and volumetrics enabled
+    (main.adb:41-60,146-153)."""
     spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 10), (P.Box, 10)),
                      lights=((L.PointLight, 4),))
     r = Renderer(spec, width, height,
                  volumetrics=kwargs.pop("volumetrics",
                                         VolumetricsSettings()), **kwargs)
-    wall1 = r.add_material((0.0, 0.0, 0.0), 0.0, 0.6)
-    wall2 = r.add_material((1.0, 0.0, 0.0), 0.0, 0.6)
-    wall3 = r.add_material((0.0, 0.0, 1.0), 0.0, 0.6)
-    sphere_m = r.add_material((0.1, 0.1, 0.1), 0.9, 0.1)
-    box_m = r.add_material((0.0, 1.0, 0.0), 0.8, 0.3)
-    _room(r, (wall1, wall2, wall3))
+    r.set_material(0, (0.0, 0.0, 0.0), 0.0, 1.0)
+    r.set_material(1, (1.0, 0.0, 0.0), 0.0, 1.0)
+    r.set_material(2, (0.0, 1.0, 0.0), 0.0, 1.0)
+    r.set_material(3, (0.0, 0.0, 1.0), 0.0, 1.0)
+    _room(r, (0, 1, 2))
     r.add_primitive(P.Sphere, center=(3.0, 4.0, 3.0), radius=1.0,
-                    material_id=sphere_m)
+                    material_id=3)
     r.add_primitive(P.Box, center=(3.0, 0.0, 4.0), side=(1.5, 1.5, 1.5),
-                    material_id=box_m)
-    r.add_light(L.PointLight, position=(3.5, 5.0, 2.0),
-                color=(0.9, 0.9, 0.8))
+                    material_id=2)
+    r.add_light(L.PointLight, position=(5.0, 3.0, 6.0),
+                color=(0.9, 0.9, 0.9))
     r.set_camera_position((2.0, 2.0, 0.0))
     return r
 
 
 def obj_mesh(width=1000, height=1000, obj_path=None, triangle_capacity=1000,
-             partition_method="gpu_fast", **kwargs) -> Renderer:
-    """examples/obj_mesh/main.adb: suzanne.obj as 968 Triangle primitives
-    with a fine 30×20×20 × 0.1 partitioning grid."""
+             partition_method="gpu_fast", mode="exact",
+             bake_dims=(48, 48, 48), **kwargs) -> Renderer:
+    """examples/obj_mesh/main.adb: suzanne.obj with a fine 30×20×20 × 0.1
+    partitioning grid.
+
+    ``mode="exact"`` (default): 968 exact Triangle primitives, served by
+    the chunked Pallas kernel layout (ops/march.py).
+    ``mode="baked"``: the mesh baked into a dense distance map sampled
+    trilinearly — the reference's distance-map path
+    (meshes-distance_maps.adb:158-301 + scene_custom.glsl sampling); runs
+    on the XLA path (grid lookups have no planar kernel form).
+    """
     from madarch_tpu.scene.mesh import add_mesh_to_renderer
     from madarch_tpu.native import load_obj
+
+    if obj_path is None:
+        obj_path = "/root/reference/media/suzanne.obj"
+    mesh = load_obj(obj_path)
+    offset = (1.5, 1.0, 1.0)
+
+    if mode == "baked":
+        from madarch_tpu.scene.baked_sdf import make_baked_sdf_primitive
+        from madarch_tpu.scene.mesh import bake_distance_map
+
+        lo, hi = mesh.bounding_box()
+        margin = 0.1 * float(np.max(hi - lo))
+        lo = lo - margin
+        hi = hi + margin
+        dist, _ = bake_distance_map(mesh, bake_dims, lo, hi)
+        baked = make_baked_sdf_primitive("suzanne_sdf", dist, lo, hi)
+        spec = SceneSpec(prims=((baked, 1),), lights=((L.PointLight, 4),))
+        probes = kwargs.pop("probes", ProbeSettings(
+            radiance_resolution=8, irradiance_resolution=4,
+            probe_count=(6, 6), grid_dimensions=(3, 3, 4),
+            grid_spacing=(2.0, 3.0, 3.0)))
+        r = Renderer(spec, width, height, probes=probes,
+                     volumetrics=NO_VOLUMETRICS, **kwargs)
+        mesh_mat = r.add_material((0.8, 0.2, 0.1), 0.0, 1.0)
+        r.add_primitive(baked, position=offset, material_id=mesh_mat)
+        r.add_light(L.PointLight, position=(0.0, 1.0, -5.0),
+                    color=(0.9, 0.9, 0.9))
+        r.set_camera_position((0.0, 1.0, -5.0))
+        return r
 
     spec = SceneSpec(
         prims=((P.Triangle, triangle_capacity),),
@@ -136,10 +175,7 @@ def obj_mesh(width=1000, height=1000, obj_path=None, triangle_capacity=1000,
     r = Renderer(spec, width, height, probes=probes,
                  volumetrics=NO_VOLUMETRICS, **kwargs)
     mesh_mat = r.add_material((0.8, 0.2, 0.1), 0.0, 1.0)
-    if obj_path is None:
-        obj_path = "/root/reference/media/suzanne.obj"
-    mesh = load_obj(obj_path)
-    add_mesh_to_renderer(r, mesh, mesh_mat, offset=(1.5, 1.0, 1.0))
+    add_mesh_to_renderer(r, mesh, mesh_mat, offset=offset)
     r.add_light(L.PointLight, position=(0.0, 1.0, -5.0),
                 color=(0.9, 0.9, 0.9))
     r.set_camera_position((0.0, 1.0, -5.0))

@@ -694,12 +694,15 @@ def _geometry_kernel(plan, cfg, *args):
             sdz.append(ldz)
             smx.append(ldist)
             sen.append(hit * jnp.where(ndotl > EPSILON, 1.0, 0.0))
+        # stacked tiles amortize the loop-condition check over k×R rows
+        # already; unroll=2 keeps the march exact while cutting compiled
+        # scene bodies (the simple_scene compile-time driver)
         sh = _march_shadow(
             scene, (_stack([sox] * n_lights), _stack([soy] * n_lights),
                     _stack([soz] * n_lights)),
             (_stack(sdx), _stack(sdy), _stack(sdz)),
             jnp.zeros((n_lights * R, LANES), jnp.float32), _stack(smx),
-            _stack(sen), eps, max_steps, shadow_k)
+            _stack(sen), eps, max_steps, shadow_k, unroll=2)
         for li in range(n_lights):
             sh_out[li] = sh[li * R:(li + 1) * R]
     else:
@@ -735,7 +738,7 @@ def _geometry_kernel(plan, cfg, *args):
             scene, (_stack([sox] * 8), _stack([soy] * 8),
                     _stack([soz] * 8)),
             (_stack(vdx), _stack(vdy), _stack(vdz)), _stack(vmx),
-            _stack([hit] * 8), eps, max_steps, omega)
+            _stack([hit] * 8), eps, max_steps, omega, unroll=2)
         for k in range(8):
             vis_out[k] = vis[k * R:(k + 1) * R]
     else:

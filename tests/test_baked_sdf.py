@@ -73,3 +73,46 @@ def test_baked_from_mesh():
     t, hit, pos = raycast(sdf_b, origins, dirs, 30.0, eps=5e-3)
     assert bool(hit[0])
     assert abs(float(pos[0, 2])) < 0.1  # quad at z=0
+
+
+def test_obj_mesh_baked_mode_renders_suzanne():
+    """End-to-end baked-distance-map mesh rendering (the reference's
+    scene_custom.glsl experiment as a first-class mode): the baked suzanne
+    silhouette must appear and roughly agree with the exact-triangle mode
+    at the same camera."""
+    from madarch_tpu.examples.scenes import obj_mesh
+    from madarch_tpu.scene.scene import scene_sdf
+    import jax
+
+    size = 48
+    r_b = obj_mesh(width=size, height=size, mode="baked",
+                   bake_dims=(32, 32, 32))
+    r_e = obj_mesh(width=size, height=size)
+    img_b = np.asarray(r_b.converge(frames=1))
+    img_e = np.asarray(r_e.converge(frames=1))
+    assert np.isfinite(img_b).all()
+
+    # silhouette = pixels darker than the sky gradient
+    def silhouette(img):
+        return img.std(axis=-1) > 0.02  # sky is grey-blue gradient
+
+    sb, se = silhouette(img_b), silhouette(img_e)
+    assert sb.sum() > 20, "baked suzanne not visible"
+    inter = (sb & se).sum()
+    union = (sb | se).sum()
+    assert inter / union > 0.5, f"silhouette IoU {inter / union:.2f}"
+
+    # The baked field can only *underestimate* the exact unsigned triangle
+    # distance (plus interpolation error): interior AND back-facing-closest
+    # points are zeroed by the reference's rule
+    # (meshes-distance_maps.adb:158-301; suzanne is not watertight, so
+    # back-face zeroing also fires outside near the eyes).  One-sided
+    # bound near the mesh:
+    pts = jnp.asarray(np.random.RandomState(0).uniform(
+        0.5, 2.5, (64, 3)), jnp.float32)
+    d_b = jax.vmap(lambda p: scene_sdf(r_b.spec, r_b.scene_data, p))(pts)
+    d_e = jax.vmap(lambda p: scene_sdf(r_e.spec, r_e.scene_data, p))(pts)
+    cell = float(np.linalg.norm((np.asarray([2.9, 2.9, 2.9]) / 32)))
+    mask = np.asarray(d_e) < 1.0
+    over = (np.asarray(d_b) - np.asarray(d_e))[mask]
+    assert over.max() < 4 * cell, f"baked exceeds exact by {over.max():.3f}"
