@@ -19,12 +19,28 @@ Scene parameters take one of two layouts, chosen per primitive type by
   per scalar and broadcast along sublanes — no Mosaic relayouts; the slot
   loop is a rolled ``fori_loop`` so code size stays constant in slot count
   (the round-2 Python unroll hit 306 s compiles at 40 slots).  Types with
-  spatial ``bounds`` additionally carry lane-replicated bounding spheres
-  (global + per 16-slot chunk): every scene call short-circuits through the
-  global sphere — lanes outside ``margin`` of the mesh get the sphere
-  lower bound (sphere tracing only needs a conservative bound far away),
-  the TPU analogue of the reference's grid candidate culling
-  (madarch-scenes.adb:839-1118) at tile granularity.
+  spatial ``bounds`` additionally carry bounding spheres as SMEM scalars
+  (global + per 16-slot chunk) driving two levels of culling, the TPU
+  analogue of the reference's grid candidate culling
+  (madarch-scenes.adb:839-1118) at tile granularity:
+
+  * every scene call computes the AABB bounding sphere of the tile's
+    *active* lanes once (6 vector reduces); each chunk is then admitted or
+    skipped by a pure scalar-core sphere-vs-sphere test — no per-chunk
+    vector reduces, no vector→scalar moves in the ``lax.cond`` predicate
+    (the round-3 attempt paid a reduce per chunk per step and lost);
+  * skipped chunks contribute their per-lane sphere lower bound (sphere
+    tracing only needs a conservative bound ≥ ``margin`` away), admitted
+    chunks run the 16-slot exact loop;
+  * lanes outside ``margin`` of the *global* sphere blend to the global
+    lower bound per-lane, and a whole-entry scalar test skips even the
+    chunk loop when every active lane is far.
+
+  The classify / FD-normal / AO sites also run culled: at a hit point the
+  governing entry's true distance is ≤ the probe offset (≤ 0.3 for AO,
+  ≤ √3·1e-3 for the tetrahedron normal) which is < ``margin``, so a
+  skipped chunk's ≥ ``margin`` bound can never contaminate the min for
+  any lane whose result is consumed.
 
 Beyond the three bare marches, ``pallas_geometry`` is the fused
 march-and-classify kernel: primary sphere trace, nearest-primitive index +
@@ -61,8 +77,12 @@ BIG = 1e9
 UNROLL = 3
 # Central-difference half-step for the in-kernel tetrahedron normal.
 NORMAL_H = 1e-3
-# Types with more live slots than this use the chunked VMEM layout.
-UNROLL_SLOTS_MAX = 24
+# Types with more live slots than this use the chunked VMEM layout.  8
+# keeps the GI/light_shafts room scenes (≤ 8 live slots per type) on the
+# fully-unrolled SMEM path while 20-slot types (simple_scene) take the
+# rolled chunk loop: compiled scene bodies stay O(8) instead of O(40),
+# which is what held simple_scene at a 170 s compile.
+UNROLL_SLOTS_MAX = 8
 # Chunk granularity for bounding spheres in the chunked layout.
 CHUNK = 16
 # Far-field short-circuit distance for bounded chunked types: lanes whose
@@ -106,6 +126,14 @@ class ScenePlan:
         return any(e.kind == "c" for e in self.entries)
 
     @property
+    def small(self):
+        """Cheap-scene-body plans: marches re-amortize with unroll=3 and
+        the stacked probe-vis path (the round-2 configuration that set the
+        GI throughput floor); bigger plans drop to unroll=2 / destacked
+        marches to keep compiled scene bodies bounded."""
+        return not self.has_chunks and self.total_capacity <= 16
+
+    @property
     def margin(self):
         """Far-field short-circuit margin, or None when no entry can use
         it (unbounded or unrolled types are always evaluated exactly)."""
@@ -122,8 +150,9 @@ class PackedScene:
     vec: f32[NP, 1] scalars for unrolled types (SMEM).
     counts: i32[ntypes, 1] live counts (SMEM).
     chunked: per chunked type, f32[n_pad·NF, 128] lane-replicated scalars.
-    spheres: per bounded chunked type, f32[(1+n_chunks)·4, 128]
-      lane-replicated global + per-chunk bounding spheres (cx cy cz r).
+    spheres: per bounded chunked type, f32[(1+n_chunks)·4, 1] SMEM
+      scalars: global + per-chunk bounding spheres (cx cy cz r).  SMEM so
+      the chunk admit test runs entirely on the scalar core.
     """
 
     vec: jnp.ndarray
@@ -236,8 +265,15 @@ def pack_params(plan: ScenePlan, data):
                     [hi, jnp.full((pad, 3), -BIG, jnp.float32)])
             lo_c = lo.reshape(e.n_chunks, CHUNK, 3).min(axis=1)
             hi_c = hi.reshape(e.n_chunks, CHUNK, 3).max(axis=1)
-            ctr_c = (lo_c + hi_c) * 0.5
-            rad_c = jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5
+            # all-padded chunks (lo=BIG, hi=-BIG) must be genuinely inert:
+            # center far away with radius 0, so their lower bound is huge
+            # and the admit test always skips them (a 0-center sphere would
+            # get a ~+3.5e9 radius from the norm and poison the culling)
+            empty = (hi_c < lo_c).any(axis=1)
+            ctr_c = jnp.where(empty[:, None], 2.0 * BIG,
+                              (lo_c + hi_c) * 0.5)
+            rad_c = jnp.where(empty, 0.0,
+                              jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5)
             glo_lo = lo_c.min(axis=0)
             glo_hi = hi_c.max(axis=0)
             ctr_g = (glo_lo + glo_hi) * 0.5
@@ -246,10 +282,7 @@ def pack_params(plan: ScenePlan, data):
                 jnp.concatenate([ctr_g, rad_g[None]]),
                 jnp.concatenate([ctr_c, rad_c[:, None]],
                                 axis=1).reshape(-1)])
-            # empty chunks (radius < 0): degenerate sphere far away so
-            # their lower bound never wins
-            spheres.append(jnp.broadcast_to(
-                rows.reshape(-1, 1), (rows.shape[0], LANES)))
+            spheres.append(rows.reshape(-1, 1))
     vec = (jnp.concatenate(parts).reshape(-1, 1) if parts
            else jnp.zeros((1, 1), jnp.float32))
     cnt = (jnp.stack(counts).astype(jnp.int32).reshape(-1, 1) if counts
@@ -314,13 +347,44 @@ def _rep(ref, idx, shape):
     return jnp.broadcast_to(ref[pl.ds(idx, 1), :], shape)
 
 
-def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info):
+def _tile_bounds(px, py, pz, act):
+    """Scalar bounding sphere (center, radius) of the tile's active-lane
+    positions: the per-call inputs of the scalar-core chunk admit test.
+    Inactive (converged) lanes are excluded so they don't inflate the
+    bounds; with no active lane the AABB degenerates and every result of
+    the call is don't-care anyway."""
+    if act is None:
+        lox, hix = jnp.min(px), jnp.max(px)
+        loy, hiy = jnp.min(py), jnp.max(py)
+        loz, hiz = jnp.min(pz), jnp.max(pz)
+    else:
+        on = act > 0.5
+        lox = jnp.min(jnp.where(on, px, BIG))
+        hix = jnp.max(jnp.where(on, px, -BIG))
+        loy = jnp.min(jnp.where(on, py, BIG))
+        hiy = jnp.max(jnp.where(on, py, -BIG))
+        loz = jnp.min(jnp.where(on, pz, BIG))
+        hiz = jnp.max(jnp.where(on, pz, -BIG))
+    tcx = (lox + hix) * 0.5
+    tcy = (loy + hiy) * 0.5
+    tcz = (loz + hiz) * 0.5
+    rt = 0.5 * jnp.sqrt(jnp.maximum(hix - lox, 0.0) ** 2
+                        + jnp.maximum(hiy - loy, 0.0) ** 2
+                        + jnp.maximum(hiz - loz, 0.0) ** 2)
+    return tcx, tcy, tcz, rt
+
+
+def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
+               tile=None):
     """Min distance of one type over a (R,128) tile.
 
     info=False -> returns d; info=True -> (d, local slot f32, mid f32).
-    Chunked bounded types apply the global-sphere far-field short-circuit
-    when ``margin`` is not None (marches only; exact sites pass None).
-    """
+    Chunked bounded types cull through the SMEM bounding spheres when
+    ``margin`` is not None: a scalar sphere-vs-sphere test per chunk
+    against the active-lane tile sphere (``tile``) admits or skips each
+    16-slot chunk; skipped chunks contribute their per-lane lower bound
+    (≥ margin for every active lane — safe for marches, hit tests, and
+    the min structure at points whose true distance < margin)."""
     cnt = None if plan.static_counts else refs.counts[e.t_idx, 0]
     shape = px.shape
 
@@ -346,63 +410,126 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info):
     nf = len(e.fields)
     mid_fi = e.fields.index("material_id") if "material_id" in e.fields \
         else -1
+    n_live = cnt if cnt is not None else e.n
+
+    def slot_fold(s, carry):
+        """Evaluate slot s and fold it into the carry."""
+        if info:
+            best, idx, mid = carry
+        else:
+            best = carry
+        prm = {f: _rep(arr, s * nf + fi, shape)
+               for fi, f in enumerate(e.fields)}
+        d = e.ptype.sdf_planar(prm, px, py, pz)
+        d = jnp.where(s < n_live, d, BIG)
+        if info:
+            better = d < best
+            idx = jnp.where(better, s.astype(jnp.float32), idx)
+            if mid_fi >= 0:
+                mid = jnp.where(better, prm["material_id"], mid)
+            return jnp.minimum(best, d), idx, mid
+        return jnp.minimum(best, d)
+
+    def init_carry(fill):
+        base = jnp.full(shape, fill, jnp.float32)
+        if info:
+            return (base, jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32))
+        return base
+
+    def fold_bound(lb, carry):
+        """Fold a per-lane lower bound (no slot identity: never a hit)."""
+        if info:
+            best, idx, mid = carry
+            return jnp.minimum(best, lb), idx, mid
+        return jnp.minimum(carry, lb)
 
     def exact():
-        def slot_body(s, carry):
-            if info:
-                best, idx, mid = carry
-            else:
-                best = carry
-            prm = {f: _rep(arr, s * nf + fi, shape)
-                   for fi, f in enumerate(e.fields)}
-            d = e.ptype.sdf_planar(prm, px, py, pz)
-            d = jnp.where(s < (cnt if cnt is not None else e.n), d, BIG)
-            if info:
-                better = d < best
-                idx = jnp.where(better, s.astype(jnp.float32), idx)
-                if mid_fi >= 0:
-                    mid = jnp.where(better, prm["material_id"], mid)
-                return jnp.minimum(best, d), idx, mid
-            return jnp.minimum(best, d)
-
         n_slots = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
-        init = jnp.full(shape, max_dist, jnp.float32)
-        if info:
-            init = (init, jnp.zeros(shape, jnp.float32),
-                    jnp.zeros(shape, jnp.float32))
-        return jax.lax.fori_loop(0, n_slots, slot_body, init)
+        return jax.lax.fori_loop(0, n_slots, slot_fold,
+                                 init_carry(max_dist))
 
-    if e.sph_idx < 0 or margin is None or info:
+    if e.sph_idx < 0 or margin is None:
         return exact()
 
     sph = refs.spheres[e.sph_idx]
-    lbg = jnp.sqrt((px - _rep(sph, 0, shape)) ** 2
-                   + (py - _rep(sph, 1, shape)) ** 2
-                   + (pz - _rep(sph, 2, shape)) ** 2) \
-        - _rep(sph, 3, shape)
-    d = jax.lax.cond(jnp.min(lbg) < margin, exact,
-                     lambda: jnp.full(shape, BIG, jnp.float32))
-    return jnp.where(lbg < margin, d, jnp.minimum(lbg, max_dist))
+    gcx, gcy, gcz, gcr = sph[0, 0], sph[1, 0], sph[2, 0], sph[3, 0]
+    lbg = jnp.sqrt((px - gcx) ** 2 + (py - gcy) ** 2
+                   + (pz - gcz) ** 2) - gcr
+    tcx, tcy, tcz, rt = tile
+
+    def near():
+        def chunk_body(c, carry):
+            b = 4 + 4 * c
+            ccx, ccy, ccz, ccr = sph[b, 0], sph[b + 1, 0], \
+                sph[b + 2, 0], sph[b + 3, 0]
+            # scalar-core admit test: does the chunk sphere come within
+            # margin of the active-lane tile sphere?
+            dc2 = (tcx - ccx) ** 2 + (tcy - ccy) ** 2 + (tcz - ccz) ** 2
+            thr = ccr + rt + margin
+
+            def eval_chunk(cr):
+                return jax.lax.fori_loop(
+                    0, CHUNK,
+                    lambda i, cc: slot_fold(c * CHUNK + i, cc), cr)
+
+            def skip_chunk(cr):
+                lbc = jnp.sqrt((px - ccx) ** 2 + (py - ccy) ** 2
+                               + (pz - ccz) ** 2) - ccr
+                return fold_bound(lbc, cr)
+
+            return jax.lax.cond(dc2 < thr * thr, eval_chunk, skip_chunk,
+                                carry)
+
+        return jax.lax.fori_loop(0, e.n_chunks, chunk_body,
+                                 init_carry(max_dist))
+
+    # whole-entry scalar test: skip even the chunk loop when every active
+    # lane is ≥ margin from the global sphere
+    dg2 = (tcx - gcx) ** 2 + (tcy - gcy) ** 2 + (tcz - gcz) ** 2
+    thr_g = gcr + rt + margin
+    out = jax.lax.cond(dg2 < thr_g * thr_g, near,
+                       lambda: init_carry(BIG))
+    far_blend = jnp.minimum(lbg, max_dist)
+    if info:
+        best, idx, mid = out
+        return jnp.where(lbg < margin, best, far_blend), idx, mid
+    return jnp.where(lbg < margin, out, far_blend)
 
 
-def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None):
+def _chunk_tile(plan, margin, px, py, pz, act):
+    """The tile bounding sphere, when some entry will consume it."""
+    if margin is None or not any(
+            e.kind == "c" and e.sph_idx >= 0 for e in plan.entries):
+        return None
+    return _tile_bounds(px, py, pz, act)
+
+
+def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None, act=None):
+    tile = _chunk_tile(plan, margin, px, py, pz, act)
     closest = jnp.full(px.shape, max_dist, jnp.float32)
     for e in plan.entries:
         closest = jnp.minimum(closest, _entry_min(
-            plan, e, refs, px, py, pz, max_dist, margin, info=False))
+            plan, e, refs, px, py, pz, max_dist, margin, info=False,
+            tile=tile))
     return closest
 
 
-def _scene_dist_info(plan, refs, px, py, pz, max_dist):
+def _scene_dist_info(plan, refs, px, py, pz, max_dist, margin=None,
+                     act=None):
     """(closest, global index, material id) — closest_primitive_info
     (madarch-scenes.adb:631-674) inside the kernel.  Index -1 on miss.
-    Always exact (no far-field short-circuit)."""
+
+    Culling is safe here: hit lanes (the only consumers of idx/mid) have
+    true distance < eps < margin, and any skipped chunk's bound is
+    ≥ margin for active lanes, so it can never win the min for them."""
+    tile = _chunk_tile(plan, margin, px, py, pz, act)
     closest = jnp.full(px.shape, max_dist, jnp.float32)
     index = jnp.full(px.shape, -1.0, jnp.float32)
     mid = jnp.zeros(px.shape, jnp.float32)
     for e in plan.entries:
         d, idx, m = _entry_min(plan, e, refs, px, py, pz, max_dist,
-                               margin=None, info=True)
+                               margin=margin, info=True, tile=tile)
         better = d < closest
         index = jnp.where(better, e.goff + idx, index)
         mid = jnp.where(better, m, mid)
@@ -550,7 +677,8 @@ def _raycast_kernel(plan, max_dist, eps, max_steps, omega, *args):
     margin = plan.margin
 
     def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
+                           act=act)
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -569,7 +697,8 @@ def _visibility_kernel(plan, max_dist, eps, max_steps, omega, *args):
     margin = plan.margin
 
     def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
+                           act=act)
 
     vis_out[:] = _march_visibility(
         scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mx[:], en[:],
@@ -581,7 +710,8 @@ def _softshadow_kernel(plan, max_dist, eps, max_steps, k, margin, *args):
     ox, oy, oz, dx, dy, dz, mn, mx, en, res_out = rest
 
     def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
+                           act=act)
 
     res_out[:] = _march_shadow(
         scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mn[:], mx[:],
@@ -605,12 +735,28 @@ def _geometry_kernel(plan, cfg, *args):
      t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
      sh_out, vis_out) = rest
     margin = plan.margin
+    # the far-field short-circuit underestimates penumbras for small k
+    # (matches the pallas_softshadows gate; ADVICE r3)
+    shadow_margin = margin if shadow_k >= 32.0 else None
+    # AO reads scene *values* at offsets ≤ ao_steps·ao_step from the hit
+    # point; culling is exact there only while that stays under margin
+    ao_reach = ao_steps * ao_step + NORMAL_H * 2.0
+    ao_margin = margin if margin is not None and ao_reach < margin else None
 
     def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin)
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
+                           act=act)
 
-    def scene_exact(px, py, pz):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=None)
+    def scene_shadow(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist,
+                           margin=shadow_margin, act=act)
+
+    def scene_at_hits(px, py, pz, act, margin_=None):
+        """Scene distance at points within ao_reach of active hit points:
+        the governing entry's true distance is < margin there, so chunk
+        culling returns exact values for every consumed lane."""
+        return _scene_dist(plan, refs, px, py, pz, max_dist,
+                           margin=margin_, act=act)
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -624,7 +770,10 @@ def _geometry_kernel(plan, cfg, *args):
     pz = o[2] + t * d[2]
 
     # 2. hit classification: distance + nearest primitive + material
-    d_end, idx, mid = _scene_dist_info(plan, refs, px, py, pz, max_dist)
+    # (culled: only hit lanes consume idx/mid, and their true distance
+    # < eps < margin keeps skipped-chunk bounds out of the min)
+    d_end, idx, mid = _scene_dist_info(plan, refs, px, py, pz, max_dist,
+                                       margin=margin, act=en0)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0) \
         * en0
 
@@ -633,9 +782,11 @@ def _geometry_kernel(plan, cfg, *args):
     h = NORMAL_H
     tet = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
            (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
-    f = scene_exact(_stack([px + s[0] * h for s in tet]),
-                    _stack([py + s[1] * h for s in tet]),
-                    _stack([pz + s[2] * h for s in tet]))
+    hit4 = _stack([hit] * 4)
+    f = scene_at_hits(_stack([px + s[0] * h for s in tet]),
+                      _stack([py + s[1] * h for s in tet]),
+                      _stack([pz + s[2] * h for s in tet]),
+                      hit4, ao_margin)
     gx = jnp.zeros_like(px)
     gy = jnp.zeros_like(px)
     gz = jnp.zeros_like(px)
@@ -653,9 +804,11 @@ def _geometry_kernel(plan, cfg, *args):
     # all ao_steps offsets in ONE stacked scene eval
     if ao_steps > 0 and want_ao:
         hs = [(i + 1) * ao_step for i in range(ao_steps)]
-        fa = scene_exact(_stack([px + nx * hh for hh in hs]),
-                         _stack([py + ny * hh for hh in hs]),
-                         _stack([pz + nz * hh for hh in hs]))
+        hit_ao = _stack([hit] * ao_steps)
+        fa = scene_at_hits(_stack([px + nx * hh for hh in hs]),
+                           _stack([py + ny * hh for hh in hs]),
+                           _stack([pz + nz * hh for hh in hs]),
+                           hit_ao, ao_margin)
         ao_sum = jnp.zeros_like(px)
         max_ao_sum = 0.0
         for i in range(ao_steps):
@@ -695,14 +848,16 @@ def _geometry_kernel(plan, cfg, *args):
             smx.append(ldist)
             sen.append(hit * jnp.where(ndotl > EPSILON, 1.0, 0.0))
         # stacked tiles amortize the loop-condition check over k×R rows
-        # already; unroll=2 keeps the march exact while cutting compiled
-        # scene bodies (the simple_scene compile-time driver)
+        # already; small plans still win from unroll=3 (round-2's GI
+        # configuration), big plans cap at 2 to bound compiled scene bodies
         sh = _march_shadow(
-            scene, (_stack([sox] * n_lights), _stack([soy] * n_lights),
+            scene_shadow,
+            (_stack([sox] * n_lights), _stack([soy] * n_lights),
                     _stack([soz] * n_lights)),
             (_stack(sdx), _stack(sdy), _stack(sdz)),
             jnp.zeros((n_lights * R, LANES), jnp.float32), _stack(smx),
-            _stack(sen), eps, max_steps, shadow_k, unroll=2)
+            _stack(sen), eps, max_steps, shadow_k,
+            unroll=UNROLL if plan.small else 2)
         for li in range(n_lights):
             sh_out[li] = sh[li * R:(li + 1) * R]
     else:
@@ -716,9 +871,10 @@ def _geometry_kernel(plan, cfg, *args):
     # overhead but runs for the max step count over ALL corners; with an
     # expensive scene eval that tail dominates.  Measured on v5e: stacked
     # wins 9% at 8 live slots (GI), loses 18% at 40 (simple_scene).
-    # Destacked marches drop to unroll=1 so compile stays ~1 scene body
-    # per march instead of re-inflating the round-2 compile cliff.
-    destack = plan.total_capacity > 16 or plan.has_chunks
+    # Destacked marches use unroll=2 (≈2 scene bodies per instance, well
+    # under the round-2 cliff); the stacked small-plan path restores
+    # round-2's unroll=3.
+    destack = not plan.small
     if want_vis and destack:
         cellx = jnp.floor(px / spx)
         celly = jnp.floor(py / spy)
@@ -765,7 +921,7 @@ def _geometry_kernel(plan, cfg, *args):
             scene, (_stack([sox] * 8), _stack([soy] * 8),
                     _stack([soz] * 8)),
             (_stack(vdx), _stack(vdy), _stack(vdz)), _stack(vmx),
-            _stack([hit] * 8), eps, max_steps, omega, unroll=2)
+            _stack([hit] * 8), eps, max_steps, omega, unroll=UNROLL)
         for k in range(8):
             vis_out[k] = vis[k * R:(k + 1) * R]
     else:
@@ -821,7 +977,8 @@ def _scene_specs(plan):
     """in_specs for the PackedScene args, matching SceneRefs.split order."""
     n_c = sum(1 for e in plan.entries if e.kind == "c")
     n_s = sum(1 for e in plan.entries if e.kind == "c" and e.sph_idx >= 0)
-    return [_smem_spec(), _smem_spec()] + [_vmem_spec()] * (n_c + n_s)
+    return [_smem_spec(), _smem_spec()] + [_vmem_spec()] * n_c \
+        + [_smem_spec()] * n_s
 
 
 def _scene_args(packed):

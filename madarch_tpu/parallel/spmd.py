@@ -94,6 +94,31 @@ class RaySharder:
         return lax.with_sharding_constraint(
             arr, NamedSharding(self.mesh, spec))
 
+    def map_rays(self, fn, sharded, replicated=()):
+        """Run ``fn(*sharded, *replicated)`` with the ray arrays split over
+        the mesh via ``shard_map`` and the rest replicated.
+
+        This — not a sharding constraint — is the right shape for the
+        march loops: under a plain constraint XLA makes every
+        ``while_loop`` condition a global reduce, i.e. a cross-chip
+        ``pred[] all-reduce`` per march iteration (measured: 6 in-loop
+        collectives in the GI frame HLO).  Inside shard_map each device
+        marches only its rays with a device-local condition, and Pallas
+        kernels partition cleanly.  Outputs are sharded on the ray axis;
+        autodiff through shard_map psums gradients of replicated operands
+        across chips — the parameter all-reduce of the training step.
+        """
+        sharded = tuple(self.pad(a) for a in sharded)
+        in_specs = tuple(P(self.axis) for _ in sharded) \
+            + tuple(P() for _ in replicated)
+        # check_vma=False: pallas_call out_shapes carry no varying-axis
+        # metadata, which the checker rejects inside shard_map.  The
+        # gradient psum for replicated operands is unaffected — it is the
+        # transpose of the P() in_specs, not a product of the checker.
+        f = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=P(self.axis), check_vma=False)
+        return f(*sharded, *replicated)
+
 
 def ray_sharder(mesh: Mesh, axis: str = "rays") -> RaySharder:
     return RaySharder(mesh=mesh, axis=axis)
@@ -177,6 +202,112 @@ def merge_float_leaves(aux, floats):
     it = iter(floats)
     merged = [next(it) if f else l for l, f in zip(leaves, is_f)]
     return jax.tree.unflatten(treedef, merged)
+
+
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+
+def _hlo_computations(hlo_text: str):
+    """Split optimized HLO text into {computation name: body lines}."""
+    comps = {}
+    name = None
+    body = []
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        if not line.startswith(" ") and "{" in line and "(" in line:
+            head = stripped.split("(")[0].strip()
+            name = head.split()[-1].lstrip("%")
+            body = []
+            comps[name] = body
+        elif name is not None and stripped and stripped != "}":
+            body.append(stripped)
+    return comps
+
+
+def _called_comps(line: str, comps):
+    """Computation names referenced by an HLO op line (calls/bodies)."""
+    out = []
+    for key in ("to_apply=", "body=", "condition=", "branch_computations={",
+                "called_computations={"):
+        idx = 0
+        while True:
+            idx = line.find(key, idx)
+            if idx < 0:
+                break
+            rest = line[idx + len(key):]
+            for tok in rest.replace("{", " ").replace("}", ",").split(","):
+                tok = tok.strip().lstrip("%")
+                if tok in comps:
+                    out.append(tok)
+                elif tok:
+                    break
+            idx += len(key)
+    return out
+
+
+def _shape_bytes(line: str):
+    """Bytes of the op's result shape(s), parsed from the HLO line."""
+    import re
+    m = re.search(r"=\s*(\(?)([a-z0-9\[\],{}\s/():#_\-.]*?)\)?\s*"
+                  r"(all-reduce|all-gather|reduce-scatter|"
+                  r"collective-permute|all-to-all)", line)
+    if not m:
+        return 0
+    sizes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2, "pred": 1,
+             "f64": 8, "s64": 8, "u64": 8, "u8": 1, "s8": 1}
+    total = 0
+    for dt, dims in re.findall(r"(f32|s32|u32|bf16|f16|pred|f64|s64|u64|u8"
+                               r"|s8)\[([0-9,]*)\]", m.group(2)):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * sizes[dt]
+    return total
+
+
+def collective_report(jitted, *args):
+    """Inspect a jitted function's optimized HLO for cross-chip traffic.
+
+    Returns {"in_loops": #collective ops reachable from any while-loop
+    body/condition (march loops must be collective-free — SURVEY §5),
+    "n_collectives": total, "bytes": summed result bytes, "ops": [...]}.
+    """
+    hlo = jitted.lower(*args).compile().as_text()
+    comps = _hlo_computations(hlo)
+
+    loop_roots = []
+    for body in comps.values():
+        for line in body:
+            if " while(" in line:
+                loop_roots += _called_comps(line, comps)
+    in_loop = set()
+    stack = list(loop_roots)
+    while stack:
+        c = stack.pop()
+        if c in in_loop:
+            continue
+        in_loop.add(c)
+        for line in comps.get(c, ()):
+            stack.extend(_called_comps(line, comps))
+
+    ops = []
+    n_in_loops = 0
+    total_bytes = 0
+    for cname, body in comps.items():
+        for line in body:
+            if any(f" {op}(" in line or f"{op}-start(" in line
+                   for op in _COLLECTIVE_OPS):
+                b = _shape_bytes(line)
+                inside = cname in in_loop
+                n_in_loops += int(inside)
+                total_bytes += b
+                ops.append({"comp": cname, "bytes": b, "in_loop": inside,
+                            "op": line.split("=")[1].strip()[:60]
+                            if "=" in line else line[:60]})
+    return {"in_loops": n_in_loops, "n_collectives": len(ops),
+            "bytes": total_bytes, "ops": ops}
 
 
 def measure_scaling(builder=None, width: int = 256, height: int = 256,

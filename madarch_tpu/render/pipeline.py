@@ -77,12 +77,17 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
     origins = jnp.repeat(p_world, rr * rr, axis=0)           # [P·rr²,3]
     ray_dirs = jnp.tile(dirs, (n_probes, 1))
     n_rays = origins.shape[0]
-    if shard is not None:
-        origins = shard(origins)
-        ray_dirs = shard(ray_dirs)
-
-    color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas, rad_atlas,
-                              origins, ray_dirs)
+    if shard is not None and hasattr(shard, "map_rays"):
+        color = shard.map_rays(
+            lambda o, d, dat, irr, rad: pixel_color(
+                spec, dat, probes, cfg, irr, rad, o, d)[0],
+            (origins, ray_dirs), (data, irr_atlas, rad_atlas))
+    else:
+        if shard is not None:
+            origins = shard(origins)
+            ray_dirs = shard(ray_dirs)
+        color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas,
+                                  rad_atlas, origins, ray_dirs)
     color = _unpad(shard, color, n_rays)
     tiles = color.reshape(n_probes, rr * rr, 3)
     px, py = probes.probe_count
@@ -90,6 +95,32 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
         pad = jnp.zeros((px * py - n_probes, rr * rr, 3), jnp.float32)
         tiles = jnp.concatenate([tiles, pad], axis=0)
     return probes_mod.tiles_to_atlas(probes, tiles, rr)
+
+
+BLOCK_H = 32
+BLOCK_W = 32
+
+
+def _to_blocks(arr, height, width):
+    """Scanline-flat [H·W, ...] -> 32×32-block-major flat order.
+
+    One Pallas ray tile (8×128 = 1024 rays) then covers one compact screen
+    square instead of 1.28 full scanlines — the tile's spatial footprint
+    shrinks ~25×, which is what makes the chunk-culling admit test
+    (ops/march.py) and the tile-level early march exit actually fire."""
+    tail = arr.shape[1:]
+    a = arr.reshape(height // BLOCK_H, BLOCK_H, width // BLOCK_W, BLOCK_W,
+                    *tail)
+    return a.transpose(0, 2, 1, 3, *range(4, a.ndim)).reshape(
+        height * width, *tail)
+
+
+def _from_blocks(arr, height, width):
+    tail = arr.shape[1:]
+    a = arr.reshape(height // BLOCK_H, width // BLOCK_W, BLOCK_H, BLOCK_W,
+                    *tail)
+    return a.transpose(0, 2, 1, 3, *range(4, a.ndim)).reshape(
+        height * width, *tail)
 
 
 def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
@@ -103,17 +134,32 @@ def screen_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
     origins_f = origins.reshape(-1, 3)
     dirs_f = dirs.reshape(-1, 3)
     n_rays = origins_f.shape[0]
-    if shard is not None:
-        origins_f = shard(origins_f)
-        dirs_f = shard(dirs_f)
-
-    color, hit, hit_pos = pixel_color(spec, data, probes, cfg, irr_atlas,
-                                      rad_atlas, origins_f, dirs_f)
+    blocked = height % BLOCK_H == 0 and width % BLOCK_W == 0
+    if blocked:
+        origins_f = _to_blocks(origins_f, height, width)
+        dirs_f = _to_blocks(dirs_f, height, width)
+    if shard is not None and hasattr(shard, "map_rays"):
+        def _shade(o, d, dat, irr, rad):
+            c, _, hp = pixel_color(spec, dat, probes, cfg, irr, rad, o, d)
+            return c, hp
+        color, hit_pos = shard.map_rays(_shade, (origins_f, dirs_f),
+                                        (data, irr_atlas, rad_atlas))
+    else:
+        if shard is not None:
+            origins_f = shard(origins_f)
+            dirs_f = shard(dirs_f)
+        color, _, hit_pos = pixel_color(spec, data, probes, cfg, irr_atlas,
+                                        rad_atlas, origins_f, dirs_f)
     color = _unpad(shard, color, n_rays)
+    if blocked:
+        color = _from_blocks(color, height, width)
     if cfg.render_volumetrics:
         hit_pos = _unpad(shard, hit_pos, n_rays)
-        ray_len = jnp.linalg.norm(
-            hit_pos - _unpad(shard, origins_f, n_rays), axis=-1)
+        o_f = _unpad(shard, origins_f, n_rays)
+        if blocked:
+            hit_pos = _from_blocks(hit_pos, height, width)
+            o_f = _from_blocks(o_f, height, width)
+        ray_len = jnp.linalg.norm(hit_pos - o_f, axis=-1)
         color = vol_mod.composite(vol, scattering, color, ray_len,
                                   width, height, spec.max_dist)
 

@@ -79,9 +79,11 @@ def raycast(sdf, origins, dirs, max_dist, *, eps=EPSILON,
         return pallas_raycast(ctx.plan, ctx.packed, origins,
                               dirs, max_dist, eps=eps, max_steps=max_steps,
                               enabled=enabled, omega=omega)
-    n = origins.shape[0]
-    t0 = jnp.zeros((n,), jnp.float32)
-    active0 = jnp.ones((n,), bool) if enabled is None else enabled
+    # carries derive arithmetically from the ray arrays (not literal
+    # zeros/ones) so their varying-axis type matches the body outputs when
+    # the march runs per-device inside shard_map (parallel/spmd.py)
+    t0 = origins[:, 0] * 0.0
+    active0 = (t0 < 1.0) if enabled is None else enabled
 
     def cond(state):
         step, _, active = state[:3]
@@ -103,9 +105,7 @@ def raycast(sdf, origins, dirs, max_dist, *, eps=EPSILON,
         return step + 1, t, still, prev_r, step_len, om
 
     _, t, _, _, _, _ = lax.while_loop(
-        cond, body,
-        (jnp.int32(0), t0, active0, jnp.zeros((n,), jnp.float32),
-         jnp.zeros((n,), jnp.float32), jnp.full((n,), omega, jnp.float32)))
+        cond, body, (jnp.int32(0), t0, active0, t0, t0, t0 + omega))
     pos = origins + t[:, None] * dirs
     hit = (sdf_b(pos) < eps) & (t < max_dist)
     if enabled is not None:
@@ -128,9 +128,8 @@ def raycast_visibility(sdf, origins, dirs, max_dists, *, eps=EPSILON,
                                  origins, dirs, max_dists, eps=eps,
                                  max_steps=max_steps, enabled=enabled,
                                  omega=omega)
-    n = origins.shape[0]
-    t0 = jnp.zeros((n,), jnp.float32)
-    active0 = jnp.ones((n,), bool) if enabled is None else enabled
+    t0 = origins[:, 0] * 0.0  # varying-typed zeros (see raycast)
+    active0 = (t0 < 1.0) if enabled is None else enabled
     active0 = active0 & (t0 < max_dists)
 
     def cond(state):
@@ -155,9 +154,7 @@ def raycast_visibility(sdf, origins, dirs, max_dists, *, eps=EPSILON,
 
     _, _, _, blocked, _, _, _ = lax.while_loop(
         cond, body,
-        (jnp.int32(0), t0, active0, jnp.zeros((n,), bool),
-         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-         jnp.full((n,), omega, jnp.float32)))
+        (jnp.int32(0), t0, active0, t0 > 1.0, t0, t0, t0 + omega))
     return jnp.where(blocked, 0.0, 1.0)
 
 
@@ -181,10 +178,11 @@ def softshadows(sdf, origins, dirs, min_dists, max_dists, k, *,
                                   eps=eps, max_steps=max_steps,
                                   enabled=enabled)
     n = origins.shape[0]
-    t0 = jnp.asarray(jnp.broadcast_to(min_dists, (n,)), jnp.float32)
-    res0 = jnp.ones((n,), jnp.float32)
-    prev0 = jnp.full((n,), 1e20, jnp.float32)
-    active0 = jnp.ones((n,), bool) if enabled is None else enabled
+    zeros = origins[:, 0] * 0.0  # varying-typed (see raycast)
+    t0 = jnp.broadcast_to(min_dists, (n,)).astype(jnp.float32) + zeros
+    res0 = zeros + 1.0
+    prev0 = zeros + 1e20
+    active0 = (zeros < 1.0) if enabled is None else enabled
     active0 = active0 & (t0 < max_dists)
 
     def cond(state):
@@ -218,7 +216,7 @@ def softshadows(sdf, origins, dirs, min_dists, max_dists, k, *,
 
     _, _, res, _, _, blocked = lax.while_loop(
         cond, body,
-        (jnp.int32(0), t0, res0, prev0, active0, jnp.zeros((n,), bool)))
+        (jnp.int32(0), t0, res0, prev0, active0, zeros > 1.0))
     return jnp.where(blocked, 0.0, res)
 
 

@@ -66,28 +66,41 @@ def visibility_pass(spec, data, vol: VolumetricsSettings, sdf_b,
     pts_f = pts.reshape(-1, 3)
     dirs_f = jnp.broadcast_to(dirs[None], (vz, vy, vx, 3)).reshape(-1, 3)
     n_true = pts_f.shape[0]
-    pts_f, dirs_f = _shard_batch(shard, [pts_f, dirs_f])
 
-    result = jnp.zeros_like(pts_f)
-    dummy_normal = jnp.broadcast_to(
-        jnp.asarray([1.0, 0.0, 0.0], jnp.float32), pts_f.shape)
-    for ltype, cap, n, static in spec.light_bounds():
-        count = None if static else data.light_counts[ltype.name]
-        for slot in range(n):
-            live = jnp.asarray(True) if static else slot < count
-            params = jax.tree.map(lambda a: a[slot],
-                                  data.lights[ltype.name])
-            radiance, ldir, ldist = ltype.sample(params, pts_f, dummy_normal)
-            n_r = pts_f.shape[0]
-            vis = raycast_visibility(sdf_b, pts_f, ldir, ldist,
-                                     enabled=jnp.broadcast_to(live, (n_r,)),
-                                     max_steps=max_steps)
-            l_in = (jnp.exp(-ldist * TAU_SCATTERING) * vis)[..., None] \
-                * radiance
-            contrib = l_in * TAU_SCATTERING \
-                * henyey_greenstein_phase(ldir, dirs_f)[..., None]
-            result = result + (contrib if static
-                               else jnp.where(live, contrib, 0.0))
+    def froxel_light(pts_f, dirs_f, data):
+        """Per-froxel in-scatter; per-device under map_rays so the
+        visibility march loops stay collective-free."""
+        from madarch_tpu.render.context import SceneCtx
+        sb = SceneCtx(spec, data) if not callable(sdf_b) else sdf_b
+        result = jnp.zeros_like(pts_f)
+        dummy_normal = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 0.0], jnp.float32), pts_f.shape)
+        for ltype, cap, n, static in spec.light_bounds():
+            count = None if static else data.light_counts[ltype.name]
+            for slot in range(n):
+                live = jnp.asarray(True) if static else slot < count
+                params = jax.tree.map(lambda a: a[slot],
+                                      data.lights[ltype.name])
+                radiance, ldir, ldist = ltype.sample(params, pts_f,
+                                                     dummy_normal)
+                n_r = pts_f.shape[0]
+                vis = raycast_visibility(
+                    sb, pts_f, ldir, ldist,
+                    enabled=jnp.broadcast_to(live, (n_r,)),
+                    max_steps=max_steps)
+                l_in = (jnp.exp(-ldist * TAU_SCATTERING) * vis)[..., None] \
+                    * radiance
+                contrib = l_in * TAU_SCATTERING \
+                    * henyey_greenstein_phase(ldir, dirs_f)[..., None]
+                result = result + (contrib if static
+                                   else jnp.where(live, contrib, 0.0))
+        return result
+
+    if shard is not None and hasattr(shard, "map_rays"):
+        result = shard.map_rays(froxel_light, (pts_f, dirs_f), (data,))
+    else:
+        pts_f, dirs_f = _shard_batch(shard, [pts_f, dirs_f])
+        result = froxel_light(pts_f, dirs_f, data)
     result = _unpad(shard, result, n_true)
     return result.reshape(vz, vy, vx, 3)
 
@@ -115,11 +128,18 @@ def scattering_pass(spec, data, vol: VolumetricsSettings, sdf_b, visibility,
     origins_f = origins.reshape(-1, 3)
     dirs_f = dirs.reshape(-1, 3)
     n = origins_f.shape[0]
-    origins_s, dirs_s = _shard_batch(shard, [origins_f, dirs_f])
-
     max_depth = vol.max_depth
-    t, hit, _ = raycast(sdf_b, origins_s, dirs_s, max_depth,
-                        max_steps=max_steps)
+    if shard is not None and hasattr(shard, "map_rays"):
+        def _cast(o, d, data):
+            from madarch_tpu.render.context import SceneCtx
+            sb = SceneCtx(spec, data) if not callable(sdf_b) else sdf_b
+            t, hit, _ = raycast(sb, o, d, max_depth, max_steps=max_steps)
+            return t, hit
+        t, hit = shard.map_rays(_cast, (origins_f, dirs_f), (data,))
+    else:
+        origins_s, dirs_s = _shard_batch(shard, [origins_f, dirs_f])
+        t, hit, _ = raycast(sdf_b, origins_s, dirs_s, max_depth,
+                            max_steps=max_steps)
     t = _unpad(shard, t, n)
     hit = _unpad(shard, hit, n)
     length = jnp.minimum(jnp.where(hit, t, max_depth), max_depth)  # [n]

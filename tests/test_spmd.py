@@ -144,23 +144,41 @@ def test_measure_scaling_machinery():
     """Efficiency floor for the sharded path on the virtual CPU mesh.
 
     The 8 'devices' are XLA host-platform shards of ONE shared CPU
-    threadpool, so efficiency here measures sharding *overhead*, not
-    parallel speedup (this box has 2 cores; BENCH_r03 records 0.016 at
-    render sizes).  The floor asserts the sharded path cannot silently
-    rot into a pathological serialization: tN may be at most ~60x t1
-    (observed ~8x at bench sizes, far worse at tiny shapes where
-    per-device dispatch overhead dominates).  Real scaling needs a real
-    multi-chip slice (BASELINE.json: ≥85% at 2 hosts over ICI) — the
-    bench records this number every round as scaling_efficiency.
-    """
-    out = spmd.measure_scaling(width=48, height=48, probes=PROBES)
+    threadpool (2 cores here), so perfect efficiency is impossible — but
+    since the shard_map refactor the 8-way render must not be *slower*
+    than single-device at compute-bound shapes (round 3's
+    constraint-based sharding was 7.5× slower: a per-iteration pred[]
+    all-reduce in every march loop serialized the mesh).  The floor
+    t1/(tN·8) ≥ 0.1 (i.e. tN ≤ 1.25·t1) catches any return of that
+    pathology while leaving headroom for threadpool contention."""
+    out = spmd.measure_scaling(width=96, height=96, frames=2,
+                               probes=PROBES)
     assert out["devices"] == 8
     assert out["t1_s"] > 0 and out["tN_s"] > 0
     assert np.isfinite(out["efficiency"])
-    floor = 1.0 / (60.0 * out["devices"])
-    assert out["efficiency"] >= floor, (
+    assert out["efficiency"] >= 0.1, (
         f"sharded render collapsed: efficiency {out['efficiency']} "
-        f"< {floor:.4f} (tN more than 60x t1 on the fake cluster)")
+        f"(tN {out['tN_s']}s vs t1 {out['t1_s']}s on the fake cluster)")
+
+
+def test_collective_structure():
+    """Compile the sharded frame and inspect its optimized HLO: the march
+    while-loops must be collective-free (each device marches its own rays
+    — SURVEY §5's design), and per-frame cross-chip traffic must be just
+    the small atlas/image all-gathers, not per-ray intermediates."""
+    w = h = 96
+    r = build_renderer(w, h)
+    mesh = spmd.make_mesh()
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+    run = spmd.make_sharded_render(r.spec, PROBES, NO_VOLUMETRICS, w, h,
+                                   mesh, screen_cfg=CFG)
+    rep = spmd.collective_report(run, data, r.camera, state)
+    assert rep["in_loops"] == 0, rep["ops"]
+    # atlases + screen color/hit_pos at 96²: ~0.5 MB; 4 MB leaves slack
+    # for layout padding without letting per-ray leaks through
+    assert rep["bytes"] < 4 << 20, rep["ops"]
+    assert rep["n_collectives"] <= 12, rep["ops"]
 
 
 def test_init_distributed_is_guarded_noop():
