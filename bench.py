@@ -32,17 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # kernels; 800×800 GI frame at 2.60 s ≈ 5.8 M rays/s).
 BASELINE_RAYS_PER_S = 5.8e6
 
-# Round-2 per-config floors (BENCH_r02.json): regression tripwires.
-# obj_mesh's round-2 number was measured at 200×200; it is renormalized to
-# rays/s so the full-size run compares honestly.
+# Per-config floors: the MAX of every prior round's rays/s (BENCH_r0*.json)
+# — comparing against only the last round would let two successive 0.85×
+# rounds launder a 28% loss.  obj_mesh's round-2 number was measured at
+# 200×200; it is renormalized to rays/s so the full-size run compares
+# honestly.
 PREV_ROUND = {
-    "simple_scene": 88893254,
-    "room_reflections": 232097785,
-    "global_illumination": 233868093,
-    "light_shafts": 96749984,
-    "obj_mesh": 176785,
+    "simple_scene": 88893254,       # r2
+    "room_reflections": 264924596,  # r3
+    "global_illumination": 233868093,  # r2
+    "light_shafts": 322743017,      # r3
+    "obj_mesh": 4545764,            # r3
 }
-REGRESSION_TOLERANCE = 0.8  # fail loudly below 80% of last round
+REGRESSION_TOLERANCE = 0.9  # fail loudly below 90% of the best prior round
+
+# tpu_vs_golden gates (VERDICT r3 #4): the TPU kernel path may differ from
+# the CPU golden at isolated silhouette pixels (march t-jitter at grazing
+# rays flips hit/miss — diagnosed in README.md), so the gate is on robust
+# statistics, not the max.
+GOLDEN_GATES = {"mean_absdiff": 0.01, "p99_absdiff": 0.15,
+                "frac_above_0.05": 0.01}
 
 
 def _sync(x):
@@ -113,7 +122,45 @@ def per_pass_breakdown(r):
             res = fn(*args)
         _sync(res)
         out[name] = round((time.time() - t0) / iters * 1e3, 2)
+    out.update(screen_split(r))
     print(f"per-pass (GI): {out}", file=sys.stderr)
+    return out
+
+
+def screen_split(r):
+    """Split the GI screen pass into its pieces (VERDICT r3 #2): the
+    primary fused geometry kernel, the mode-2 reflection geometry kernel,
+    and the residual XLA shading (materials/BRDF/atlas sampling)."""
+    import jax
+    from functools import partial
+    from madarch_tpu.render.camera import camera_rays, pixel_grid
+    from madarch_tpu.render.context import SceneCtx
+    from madarch_tpu.render.pipeline import _to_blocks
+
+    frag = pixel_grid(r.width, r.height)
+    origins, dirs = camera_rays(frag, r.camera.position,
+                                r.camera.orientation)
+    o = _to_blocks(origins.reshape(-1, 3), r.height, r.width)
+    d = _to_blocks(dirs.reshape(-1, 3), r.height, r.width)
+    ctx = SceneCtx(r.spec, r.scene_data)
+    if not ctx.fused_available:
+        return {}
+
+    out = {}
+    iters = 10
+    for label, flags in (
+            ("screen_primary_geom", {}),
+            ("screen_reflection_geom", {"want_ao": False})):
+        f = jax.jit(partial(
+            lambda oo, dd, fl: ctx.geometry(oo, dd, r.probes, r.screen_cfg,
+                                            **fl), fl=flags))
+        res = f(o, d)
+        _sync(res["t"])
+        t0 = time.time()
+        for _ in range(iters):
+            res = f(o, d)
+        _sync(res["t"])
+        out[label] = round((time.time() - t0) / iters * 1e3, 2)
     return out
 
 
@@ -139,13 +186,61 @@ def tpu_vs_golden():
         img = np.asarray(r.converge(frames=frames[name]))
         ref = goldens[name]
         diff = np.abs(img - ref)
-        out[name] = {
+        stats = {
             "mean_tpu": round(float(img.mean()), 5),
             "mean_golden": round(float(ref.mean()), 5),
             "max_absdiff": round(float(diff.max()), 5),
             "mean_absdiff": round(float(diff.mean()), 6),
+            "p99_absdiff": round(float(np.quantile(diff, 0.99)), 5),
+            "frac_above_0.05": round(float((diff > 0.05).mean()), 6),
         }
-        print(f"tpu-vs-golden {name}: {out[name]}", file=sys.stderr)
+        stats["breached"] = sorted(
+            k for k, lim in GOLDEN_GATES.items() if stats[k] > lim)
+        out[name] = stats
+        print(f"tpu-vs-golden {name}: {stats}", file=sys.stderr)
+        if stats["breached"]:
+            print(f"*** GOLDEN DRIFT: {name} breached {stats['breached']} "
+                  f"***", file=sys.stderr)
+    return out
+
+
+def bench_train_step():
+    """Forward+backward throughput (BASELINE.json north star second half):
+    one differentiable-render training step on the 256² GI scene, timed on
+    the TPU, reported as rays/s (counting the forward frame's rays; the
+    backward roughly doubles the true march work)."""
+    import jax
+    import jax.numpy as jnp
+    from madarch_tpu.examples import scenes
+    from madarch_tpu.parallel import spmd
+    from madarch_tpu.utils.profiling import rays_per_frame
+
+    size = 256
+    r = scenes.global_illumination(width=size, height=size)
+    mesh = spmd.make_mesh(1)
+    data = spmd.replicate(mesh, r.scene_data)
+    state = spmd.replicate(mesh, r.state)
+    step = spmd.make_train_step(r.spec, r.probes, r.volumetrics, size, size,
+                                mesh, screen_cfg=r.screen_cfg)
+    target = jnp.zeros((size, size, 3), jnp.float32)
+    t0 = time.time()
+    loss, data, state = step(data, r.camera, state, target)
+    _sync(loss)
+    compile_s = time.time() - t0
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        loss, data, state = step(data, r.camera, state, target)
+    _sync(loss)
+    dt = (time.time() - t0) / iters
+    rays = rays_per_frame(size, size, r.probes, 1, r.screen_cfg,
+                          r.volumetrics)
+    out = {"frame_ms": round(dt * 1e3, 2), "rays_per_s": round(rays / dt),
+           "compile_s": round(compile_s, 1), "size": size,
+           "loss_finite": bool(jnp.isfinite(loss))}
+    print(f"train_step (GI {size}²):     {dt*1e3:8.1f} ms/step  "
+          f"{rays/dt/1e6:8.1f} M rays/s  (compile {compile_s:.1f}s)",
+          file=sys.stderr)
     return out
 
 
@@ -160,9 +255,20 @@ def scaling_efficiency():
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "import sys; sys.path.insert(0, %r)\n"
-        "from madarch_tpu.parallel.spmd import measure_scaling\n"
-        "print('SCALING=' + json.dumps(measure_scaling(width=96, "
-        "height=96, frames=2)))\n"
+        "from madarch_tpu.parallel import spmd\n"
+        "from madarch_tpu.examples.scenes import global_illumination\n"
+        "out = spmd.measure_scaling(width=96, height=96, frames=2)\n"
+        "r = global_illumination(width=96, height=96)\n"
+        "mesh = spmd.make_mesh(8)\n"
+        "data = spmd.replicate(mesh, r.scene_data)\n"
+        "state = spmd.replicate(mesh, r.state)\n"
+        "run = spmd.make_sharded_render(r.spec, r.probes, r.volumetrics, "
+        "96, 96, mesh, screen_cfg=r.screen_cfg, probe_cfg=r.probe_cfg)\n"
+        "rep = spmd.collective_report(run, data, r.camera, state)\n"
+        "out['collectives_in_march_loops'] = rep['in_loops']\n"
+        "out['collective_bytes_per_frame'] = rep['bytes']\n"
+        "out['n_collectives'] = rep['n_collectives']\n"
+        "print('SCALING=' + json.dumps(out))\n"
     ) % os.path.dirname(os.path.abspath(__file__))
     try:
         res = subprocess.run([sys.executable, "-c", code], timeout=900,
@@ -238,8 +344,17 @@ def main():
                   f"rays/s ({cfg['rays_per_s']:,} vs {prev:,}) ***",
                   file=sys.stderr)
 
+    train = bench_train_step()
     golden_stats = tpu_vs_golden()
     scaling = scaling_efficiency()
+
+    golden_breach = sorted(
+        f"{name}:{k}" for name, st in golden_stats.items()
+        for k in st.get("breached", ()))
+    regressed = bool(regressions) or bool(golden_breach)
+    if regressed:
+        print(f"*** REGRESSED: perf={regressions} "
+              f"golden={golden_breach} ***", file=sys.stderr)
 
     rays_per_s = configs["global_illumination"]["rays_per_s"]
     vs = rays_per_s / BASELINE_RAYS_PER_S if BASELINE_RAYS_PER_S else 1.0
@@ -248,12 +363,17 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
+        "regressed": regressed,
         "configs": configs,
+        "train_step": train,
         "per_pass_ms": passes,
         "regressions": regressions,
+        "golden_breaches": golden_breach,
         "tpu_vs_golden": golden_stats,
         "scaling_efficiency": scaling,
     }))
+    # a regression must be unmissable: nonzero exit after the JSON line
+    sys.exit(1 if regressed else 0)
 
 
 if __name__ == "__main__":

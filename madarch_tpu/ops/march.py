@@ -57,6 +57,7 @@ loop-overhead tax die together.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -77,12 +78,20 @@ BIG = 1e9
 UNROLL = 3
 # Central-difference half-step for the in-kernel tetrahedron normal.
 NORMAL_H = 1e-3
-# Types with more live slots than this use the chunked VMEM layout.  8
-# keeps the GI/light_shafts room scenes (≤ 8 live slots per type) on the
-# fully-unrolled SMEM path while 20-slot types (simple_scene) take the
-# rolled chunk loop: compiled scene bodies stay O(8) instead of O(40),
-# which is what held simple_scene at a 170 s compile.
+# Types with more live slots than this use a rolled slot loop.  8 keeps
+# the GI/light_shafts room scenes (≤ 8 live slots per type) on the
+# fully-unrolled SMEM path while 20-slot types (simple_scene) roll:
+# compiled scene bodies stay O(8) instead of O(40), which is what held
+# simple_scene at a 170 s compile.
 UNROLL_SLOTS_MAX = 8
+# Rolled types keep their scalars in SMEM (read at a dynamic fori_loop
+# offset — near-unrolled runtime, measured fast on v5e) as long as they
+# fit this many scalars and chunk culling can't pay off; bigger or
+# heavily-bounded types (meshes) take the chunked VMEM layout + culling.
+SMEM_ROLLED_SCALARS_MAX = 512
+SMEM_ROLLED_SLOTS_MAX = 64
+# Partial-unroll factor for the SMEM-rolled slot loop.
+S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "4"))
 # Chunk granularity for bounding spheres in the chunked layout.
 CHUNK = 16
 # Far-field short-circuit distance for bounded chunked types: lanes whose
@@ -97,13 +106,14 @@ FAR_MARGIN = 0.5
 class PlanEntry:
     """Per-type static layout (hashable; ptype hashes by identity)."""
 
-    kind: str            # "u" unrolled-SMEM | "c" chunked-VMEM
+    kind: str            # "u" unrolled-SMEM | "s" SMEM-rolled | "c" chunked
     ptype: object
     n: int               # static slot loop bound (live count or capacity)
     t_idx: int           # index into the counts vector
     goff: int            # global index offset (capacity-based, spec order)
     scalars: tuple = ()  # "u": ((name, smem offset), ...)
-    fields: tuple = ()   # "c": scalar names in VMEM row order
+    fields: tuple = ()   # "s"/"c": scalar names in slot-interleaved order
+    smem_off: int = -1   # "s": base offset into the SMEM param vector
     arr_idx: int = -1    # "c": index into PackedScene.chunked
     sph_idx: int = -1    # "c": index into PackedScene.spheres (-1: none)
     n_chunks: int = 0    # "c": chunk count (bounded types)
@@ -130,8 +140,11 @@ class ScenePlan:
         """Cheap-scene-body plans: marches re-amortize with unroll=3 and
         the stacked probe-vis path (the round-2 configuration that set the
         GI throughput floor); bigger plans drop to unroll=2 / destacked
-        marches to keep compiled scene bodies bounded."""
-        return not self.has_chunks and self.total_capacity <= 16
+        marches to keep compiled scene bodies bounded.  Rolled entries
+        ("s"/"c") compile one body per site regardless of slot count, so
+        only unrolled slots count against the budget."""
+        unrolled = sum(e.n for e in self.entries if e.kind == "u")
+        return not self.has_chunks and unrolled <= 16
 
     @property
     def margin(self):
@@ -204,6 +217,12 @@ def build_plan(spec):
             entries.append(PlanEntry(
                 kind="u", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
                 scalars=tuple(scalars)))
+        elif (n <= SMEM_ROLLED_SLOTS_MAX
+              and n * len(names) <= SMEM_ROLLED_SCALARS_MAX):
+            entries.append(PlanEntry(
+                kind="s", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
+                fields=tuple(names), smem_off=off))
+            off += n * len(names)
         else:
             bounded = getattr(ptype, "bounds", None) is not None
             n_chunks = -(-n // CHUNK) if bounded else 0
@@ -240,6 +259,11 @@ def pack_params(plan: ScenePlan, data):
         counts.append(data.prim_counts[e.ptype.name])
         if e.kind == "u":
             parts += cols
+            continue
+        if e.kind == "s":
+            # SMEM-rolled: scalars interleaved per slot for a dynamic
+            # fori_loop offset read ([slot0 f0..fF, slot1 f0..fF, ...])
+            parts.append(jnp.stack(cols, axis=1).reshape(-1))
             continue
         # chunked: rows interleaved per slot ([slot0 f0..fF, slot1 ...])
         nf = len(e.fields)
@@ -405,21 +429,35 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
             best = jnp.minimum(best, d)
         return (best, idx, mid) if info else best
 
-    # chunked
-    arr = refs.chunked[e.arr_idx]
+    # rolled: "s" reads slot scalars from SMEM at a dynamic fori_loop
+    # offset; "c" reads lane-replicated VMEM rows
     nf = len(e.fields)
     mid_fi = e.fields.index("material_id") if "material_id" in e.fields \
         else -1
     n_live = cnt if cnt is not None else e.n
 
+    if e.kind == "s":
+        def prm_of(s):
+            return {f: refs.params[e.smem_off + s * nf + fi, 0]
+                    for fi, f in enumerate(e.fields)}
+    else:
+        arr = refs.chunked[e.arr_idx]
+
+        def prm_of(s):
+            return {f: _rep(arr, s * nf + fi, shape)
+                    for fi, f in enumerate(e.fields)}
+
+    n_slots_total = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
+
     def slot_fold(s, carry):
-        """Evaluate slot s and fold it into the carry."""
+        """Evaluate slot s and fold it into the carry.  Reads clamp to the
+        packed range (block-unrolled loops may step past the end) while the
+        mask keeps the original index, so clamped duplicates never win."""
         if info:
             best, idx, mid = carry
         else:
             best = carry
-        prm = {f: _rep(arr, s * nf + fi, shape)
-               for fi, f in enumerate(e.fields)}
+        prm = prm_of(jnp.minimum(s, n_slots_total - 1))
         d = e.ptype.sdf_planar(prm, px, py, pz)
         d = jnp.where(s < n_live, d, BIG)
         if info:
@@ -445,8 +483,21 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
         return jnp.minimum(carry, lb)
 
     def exact():
-        n_slots = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
-        return jax.lax.fori_loop(0, n_slots, slot_fold,
+        # SMEM-rolled loops partially unroll by hand (Mosaic's fori_loop
+        # supports only unroll=1 or full): S_UNROLL slot bodies per
+        # iteration recover most of the full-unroll pipelining at ~4
+        # compiled bodies per site instead of n
+        if e.kind == "s" and S_UNROLL > 1:
+            u = S_UNROLL
+
+            def block_fold(i, carry):
+                for j in range(u):
+                    carry = slot_fold(i * u + j, carry)
+                return carry
+
+            return jax.lax.fori_loop(0, -(-n_slots_total // u), block_fold,
+                                     init_carry(max_dist))
+        return jax.lax.fori_loop(0, n_slots_total, slot_fold,
                                  init_carry(max_dist))
 
     if e.sph_idx < 0 or margin is None:
@@ -873,8 +924,9 @@ def _geometry_kernel(plan, cfg, *args):
     # wins 9% at 8 live slots (GI), loses 18% at 40 (simple_scene).
     # Destacked marches use unroll=2 (≈2 scene bodies per instance, well
     # under the round-2 cliff); the stacked small-plan path restores
-    # round-2's unroll=3.
-    destack = not plan.small
+    # round-2's unroll=3.  MADARCH_VIS_STACK=0/1 overrides for perf A/Bs.
+    _vs = os.environ.get("MADARCH_VIS_STACK", "")
+    destack = _vs != "1" if _vs in ("0", "1") else not plan.small
     if want_vis and destack:
         cellx = jnp.floor(px / spx)
         celly = jnp.floor(py / spy)

@@ -190,6 +190,14 @@ def composite(vol: VolumetricsSettings, scattering, color, ray_len, width,
         return np.round(tex * np.float32(n_tex)
                         - np.float32(0.5)).astype(np.int64)
 
+    # clipping ix/iy BEFORE the ±1 neighborhood shifts matches the old
+    # clip-after formulation only while round(tex·n_tex − 0.5) stays inside
+    # [0, n_tex−1], i.e. while the scattering map is not finer than the
+    # screen — true for every config (250² map vs 800² screen) and pinned
+    # here so an upsampling config can't silently change border behavior
+    assert sx <= width and sy <= height, (
+        "scattering resolution above screen resolution changes the 3×3 "
+        "composite's border behavior; re-derive the clip placement first")
     ix = np.clip(center_map(width, sx), 0, sx - 1)
     iy = np.clip(center_map(height, sy), 0, sy - 1)
 

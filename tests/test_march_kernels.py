@@ -213,13 +213,15 @@ def test_geometry_kernel_parity(scene):
 # Chunked layout (> UNROLL_SLOTS_MAX slots): the obj_mesh-scale path.
 # ---------------------------------------------------------------------------
 
-def build_chunked_scene(n_tris=40):
-    """Triangle fan + floor plane: triangles exceed UNROLL_SLOTS_MAX so the
-    plan takes the chunked VMEM layout with bounding spheres."""
+def build_chunked_scene(n_tris=80):
+    """Triangle fan + floor plane: 80 triangles exceed the SMEM-rolled
+    budget so the plan takes the chunked VMEM layout with bounding
+    spheres (the obj_mesh-scale path)."""
     spec = SceneSpec(prims=((P.Triangle, n_tris), (P.Plane, 2)),
                      lights=((L.PointLight, 1),), max_dist=20.0)
     spec = spec.specialized({"triangle": n_tris, "plane": 1},
                             {"point_light": 1})
+    assert n_tris > 64, "chunked coverage needs > SMEM_ROLLED_SLOTS_MAX"
     b = SceneBuilder(spec)
     b.add_material((0.5, 0.5, 0.5), 0.0, 0.5)
     rng = np.random.RandomState(3)
@@ -249,7 +251,7 @@ def test_chunked_plan_layout(chunked_scene):
     kinds = {e.ptype.name: e.kind for e in plan.entries}
     assert kinds == {"triangle": "c", "plane": "u"}
     tri = next(e for e in plan.entries if e.ptype.name == "triangle")
-    assert tri.sph_idx == 0 and tri.n_chunks == -(-40 // M.CHUNK)
+    assert tri.sph_idx == 0 and tri.n_chunks == -(-80 // M.CHUNK)
     assert plan.margin == M.FAR_MARGIN
     assert len(packed.chunked) == 1 and len(packed.spheres) == 1
     # replicated rows: all lanes equal
@@ -259,7 +261,7 @@ def test_chunked_plan_layout(chunked_scene):
     # slots' vertices)
     sph = np.asarray(packed.spheres[0])[:, 0].reshape(-1, 4)
     g, chunks = sph[0], sph[1:]
-    verts = np.stack([np.asarray(data.prims["triangle"][k][:40])
+    verts = np.stack([np.asarray(data.prims["triangle"][k][:80])
                       for k in ("v1", "v2", "v3")], axis=1)  # [n,3,3]
     d_all = np.linalg.norm(verts.reshape(-1, 3) - g[:3], axis=1)
     assert (d_all <= g[3] + 1e-4).all()
@@ -313,9 +315,50 @@ def test_chunked_geometry_smoke(chunked_scene):
     hits = np.asarray(g["hit"])
     assert hits.any()
     idx = np.asarray(g["idx"])
-    assert (idx[hits] >= 0).all() and (idx[hits] < 42).all()
+    assert (idx[hits] >= 0).all() and (idx[hits] < 82).all()
     n = np.asarray(g["normal"])[hits]
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-3)
     assert np.isfinite(np.asarray(g["ao"])).all()
     assert np.asarray(g["shadows"]).shape == (1, 32)
     assert np.asarray(g["vis8"]).shape == (8, 32)
+
+
+# ---------------------------------------------------------------------------
+# SMEM-rolled layout ("s"): mid-size types (simple_scene's 20 spheres /
+# 14 boxes) roll a fori_loop over SMEM scalars — one compiled scene body,
+# near-unrolled runtime.
+# ---------------------------------------------------------------------------
+
+def build_rolled_scene():
+    spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 2)),
+                     lights=((L.PointLight, 1),), max_dist=20.0)
+    spec = spec.specialized({"sphere": 20, "plane": 1}, {"point_light": 1})
+    b = SceneBuilder(spec)
+    b.add_material((0.5, 0.5, 0.5), 0.0, 0.5)
+    rng = np.random.RandomState(5)
+    for i in range(20):
+        c = rng.uniform(-3.0, 3.0, 3) + np.array([0.0, 1.5, 5.0])
+        b.add_primitive(P.Sphere, center=c, radius=0.4,
+                        material_id=0)
+    b.add_primitive(P.Plane, normal=(0.0, 1.0, 0.0), offset=1.0,
+                    material_id=0)
+    b.add_light(L.PointLight, position=(0.0, 5.0, 3.0), color=(1.0,) * 3)
+    return spec, b.device_data()
+
+
+def test_smem_rolled_layout_and_parity():
+    spec, data = build_rolled_scene()
+    plan = M.build_plan(spec)
+    kinds = {e.ptype.name: e.kind for e in plan.entries}
+    assert kinds == {"sphere": "s", "plane": "u"}
+    sph = next(e for e in plan.entries if e.ptype.name == "sphere")
+    assert sph.smem_off >= 0 and plan.n_params >= 20 * len(sph.fields)
+    packed = M.pack_params(plan, data)
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    origins, dirs = rand_rays(64, seed=31)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    assert (np.asarray(hit_ref) == np.asarray(hit_k)).mean() >= 0.98
+    both = np.asarray(hit_ref) & np.asarray(hit_k)
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
