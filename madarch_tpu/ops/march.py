@@ -90,10 +90,11 @@ UNROLL_SLOTS_MAX = 8
 # heavily-bounded types (meshes) take the chunked VMEM layout + culling.
 SMEM_ROLLED_SCALARS_MAX = 512
 SMEM_ROLLED_SLOTS_MAX = 64
-# Partial-unroll factor for the SMEM-rolled slot loop.
-S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "4"))
+# Partial-unroll factor for the SMEM-rolled slot loop (v5e A/B: 8 beats
+# 4 by ~4% on simple_scene; full unroll re-inflates compile).
+S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "8"))
 # Chunk granularity for bounding spheres in the chunked layout.
-CHUNK = 16
+CHUNK = int(os.environ.get("MADARCH_CHUNK", "16"))
 # Far-field short-circuit distance for bounded chunked types: lanes whose
 # global-sphere lower bound exceeds this read the bound instead of the
 # exact distance (safe: sphere tracing needs a lower bound; hit tests
