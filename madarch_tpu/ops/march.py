@@ -7,22 +7,28 @@ march ``while_loop`` per-tile — so a tile of rays exits as soon as *it*
 converges, the TPU equivalent of a GPU warp's early exit (reference hot
 loops: /root/reference/madarch/glsl/raymarching.glsl:1-57).
 
-Scene parameters take one of two layouts, chosen per primitive type by
+Scene parameters take one of three layouts, chosen per primitive type by
 ``build_plan``:
 
-- **unrolled** (few live slots): scalars packed into one flat f32[NP, 1]
-  SMEM vector; the kernel closure unrolls over slots — the compiled-in
-  scene structure mirrors the reference's generated closest_primitive loops
-  (madarch-scenes.adb:602-629).
+- **unrolled** (≤ UNROLL_SLOTS_MAX live slots): scalars packed into one
+  flat f32[NP, 1] SMEM vector; the kernel closure unrolls over slots —
+  the compiled-in scene structure mirrors the reference's generated
+  closest_primitive loops (madarch-scenes.adb:602-629).
+- **SMEM-rolled** (≤ 64 slots): same SMEM scalars, slot-interleaved, read
+  at a dynamic ``fori_loop`` offset with an S_UNROLL-way block unroll —
+  one compiled scene body per site (the round-2 full unroll hit 306 s
+  compiles at 40 slots) at near-unrolled runtime.
 - **chunked** (many slots, e.g. the 968-triangle obj_mesh): scalars stored
   as lane-replicated VMEM rows (f32[n_slots·NF, 128]) read one (1,128) row
   per scalar and broadcast along sublanes — no Mosaic relayouts; the slot
-  loop is a rolled ``fori_loop`` so code size stays constant in slot count
-  (the round-2 Python unroll hit 306 s compiles at 40 slots).  Types with
-  spatial ``bounds`` additionally carry bounding spheres as SMEM scalars
-  (global + per 16-slot chunk) driving two levels of culling, the TPU
-  analogue of the reference's grid candidate culling
-  (madarch-scenes.adb:839-1118) at tile granularity:
+  loop is a rolled ``fori_loop`` so code size stays constant in slot
+  count.  Types with a ``derive`` form (triangles) pack precomputed
+  per-slot constants instead of raw fields.
+
+Rolled types with spatial ``bounds`` additionally carry bounding spheres
+as SMEM scalars (global + per CHUNK/CHUNK_S-slot chunk) driving two
+levels of culling, the TPU analogue of the reference's grid candidate
+culling (madarch-scenes.adb:839-1118) at tile granularity:
 
   * every scene call computes the AABB bounding sphere of the tile's
     *active* lanes once (6 vector reduces); each chunk is then admitted or
@@ -93,8 +99,12 @@ SMEM_ROLLED_SLOTS_MAX = 64
 # Partial-unroll factor for the SMEM-rolled slot loop (v5e A/B: 8 beats
 # 4 by ~4% on simple_scene; full unroll re-inflates compile).
 S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "8"))
-# Chunk granularity for bounding spheres in the chunked layout.
+# Chunk granularity for bounding spheres: per-culling-chunk slot counts
+# for the chunked-VMEM and SMEM-rolled layouts (the rolled chunks are
+# smaller — cheap SDFs gain more from skipping than from amortizing).
 CHUNK = int(os.environ.get("MADARCH_CHUNK", "16"))
+CHUNK_S = int(os.environ.get("MADARCH_CHUNK_S", "8"))
+S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
 # Far-field short-circuit distance for bounded chunked types: lanes whose
 # global-sphere lower bound exceeds this read the bound instead of the
 # exact distance (safe: sphere tracing needs a lower bound; hit tests
@@ -116,8 +126,10 @@ class PlanEntry:
     fields: tuple = ()   # "s"/"c": scalar names in slot-interleaved order
     smem_off: int = -1   # "s": base offset into the SMEM param vector
     arr_idx: int = -1    # "c": index into PackedScene.chunked
-    sph_idx: int = -1    # "c": index into PackedScene.spheres (-1: none)
-    n_chunks: int = 0    # "c": chunk count (bounded types)
+    sph_idx: int = -1    # "s"/"c": index into PackedScene.spheres (-1: none)
+    n_chunks: int = 0    # "s"/"c": chunk count (bounded types)
+    chunk: int = 0       # "s"/"c": slots per culling chunk
+    derived: bool = False  # "c": params are ptype.derive() constants
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,7 +163,7 @@ class ScenePlan:
     def margin(self):
         """Far-field short-circuit margin, or None when no entry can use
         it (unbounded or unrolled types are always evaluated exactly)."""
-        if any(e.kind == "c" and e.sph_idx >= 0 for e in self.entries):
+        if any(e.sph_idx >= 0 for e in self.entries):
             return FAR_MARGIN
         return None
 
@@ -175,10 +187,10 @@ class PackedScene:
     spheres: tuple
 
 
-def _scalar_names(ptype):
-    """Planar scalar names for a type's fields, in field order."""
+def _scalar_names(fields):
+    """Planar scalar names for a field schema, in field order."""
     names = []
-    for fname, kind in ptype.fields:
+    for fname, kind in fields:
         if kind == "vec3":
             names += [f"{fname}_{ax}" for ax in "xyz"]
         else:
@@ -205,7 +217,7 @@ def build_plan(spec):
             continue
         if ptype.sdf_planar is None:
             return None  # custom type without planar form: no kernel path
-        names = _scalar_names(ptype)
+        names = _scalar_names(ptype.fields)
         if any(k not in ("vec3", "float", "int") or
                (k == "int" and f != "material_id")
                for f, k in ptype.fields):
@@ -220,17 +232,32 @@ def build_plan(spec):
                 scalars=tuple(scalars)))
         elif (n <= SMEM_ROLLED_SLOTS_MAX
               and n * len(names) <= SMEM_ROLLED_SCALARS_MAX):
+            # chunk culling for rolled types is opt-in: measured on v5e
+            # (simple_scene) the admit-test overhead loses ~15% against
+            # just evaluating 20-40 cheap SDFs densely
+            bounded = S_CULL and getattr(ptype, "bounds", None) is not None \
+                and n > CHUNK_S
+            n_chunks = -(-n // CHUNK_S) if bounded else 0
+            n_pad = n_chunks * CHUNK_S if bounded else n
             entries.append(PlanEntry(
                 kind="s", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
-                fields=tuple(names), smem_off=off))
-            off += n * len(names)
+                fields=tuple(names), smem_off=off,
+                sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks,
+                chunk=CHUNK_S))
+            if bounded:
+                sph_idx += 1
+            off += n_pad * len(names)
         else:
             bounded = getattr(ptype, "bounds", None) is not None
             n_chunks = -(-n // CHUNK) if bounded else 0
+            derived = getattr(ptype, "derive", None) is not None
+            if derived:
+                names = _scalar_names(ptype.derived_fields)
             entries.append(PlanEntry(
                 kind="c", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
                 fields=tuple(names), arr_idx=arr_idx,
-                sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks))
+                sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks,
+                chunk=CHUNK, derived=derived))
             arr_idx += 1
             if bounded:
                 sph_idx += 1
@@ -238,6 +265,39 @@ def build_plan(spec):
         t_idx += 1
     return ScenePlan(entries=tuple(entries), n_params=max(off, 1),
                      static_counts=spec.live_prims is not None)
+
+
+def _sphere_rows(plan, e, params, count):
+    """Global + per-chunk bounding-sphere SMEM rows for a bounded rolled
+    entry: f32[(1+n_chunks)·4, 1] of (cx cy cz r)."""
+    lo, hi = e.ptype.bounds(
+        jax.tree.map(lambda a: a[:e.n], params))            # [n,3] each
+    if not plan.static_counts:
+        live = (jnp.arange(e.n) < count)[:, None]
+        lo = jnp.where(live, lo, BIG)
+        hi = jnp.where(live, hi, -BIG)
+    pad = e.n_chunks * e.chunk - e.n
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), BIG, jnp.float32)])
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -BIG, jnp.float32)])
+    lo_c = lo.reshape(e.n_chunks, e.chunk, 3).min(axis=1)
+    hi_c = hi.reshape(e.n_chunks, e.chunk, 3).max(axis=1)
+    # all-padded chunks (lo=BIG, hi=-BIG) must be genuinely inert:
+    # center far away with radius 0, so their lower bound is huge and the
+    # admit test always skips them (a 0-center sphere would get a ~+3.5e9
+    # radius from the norm and poison the culling)
+    empty = (hi_c < lo_c).any(axis=1)
+    ctr_c = jnp.where(empty[:, None], 2.0 * BIG, (lo_c + hi_c) * 0.5)
+    rad_c = jnp.where(empty, 0.0,
+                      jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5)
+    glo_lo = lo_c.min(axis=0)
+    glo_hi = hi_c.max(axis=0)
+    ctr_g = (glo_lo + glo_hi) * 0.5
+    rad_g = jnp.linalg.norm(glo_hi - glo_lo) * 0.5
+    rows = jnp.concatenate([
+        jnp.concatenate([ctr_g, rad_g[None]]),
+        jnp.concatenate([ctr_c, rad_c[:, None]], axis=1).reshape(-1)])
+    return rows.reshape(-1, 1)
 
 
 def pack_params(plan: ScenePlan, data):
@@ -248,66 +308,36 @@ def pack_params(plan: ScenePlan, data):
     spheres = []
     for e in plan.entries:
         params = data.prims[e.ptype.name]
+        src = (e.ptype.derive(jax.tree.map(lambda a: a[:e.n], params))
+               if e.derived else params)
         cols = []
         for sname in (dict(e.scalars).keys() if e.kind == "u"
                       else e.fields):
-            if sname in params:
-                cols.append(params[sname][:e.n].astype(jnp.float32))
+            if sname in src:
+                cols.append(src[sname][:e.n].astype(jnp.float32))
             else:
                 base, ax = sname.rsplit("_", 1)
-                cols.append(params[base][:e.n, "xyz".index(ax)]
+                cols.append(src[base][:e.n, "xyz".index(ax)]
                             .astype(jnp.float32))
         counts.append(data.prim_counts[e.ptype.name])
         if e.kind == "u":
             parts += cols
             continue
-        if e.kind == "s":
-            # SMEM-rolled: scalars interleaved per slot for a dynamic
-            # fori_loop offset read ([slot0 f0..fF, slot1 f0..fF, ...])
-            parts.append(jnp.stack(cols, axis=1).reshape(-1))
-            continue
-        # chunked: rows interleaved per slot ([slot0 f0..fF, slot1 ...])
+        # rolled layouts: scalars interleaved per slot
+        # ([slot0 f0..fF, slot1 f0..fF, ...]), padded to the chunk grid
         nf = len(e.fields)
-        n_pad = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
+        n_pad = e.n_chunks * e.chunk if e.sph_idx >= 0 else e.n
         mat = jnp.stack(cols, axis=1)                       # [n, NF]
         if n_pad != e.n:
             mat = jnp.concatenate(
                 [mat, jnp.zeros((n_pad - e.n, nf), jnp.float32)])
-        chunked.append(jnp.broadcast_to(
-            mat.reshape(n_pad * nf, 1), (n_pad * nf, LANES)))
+        if e.kind == "s":
+            parts.append(mat.reshape(-1))
+        else:
+            chunked.append(jnp.broadcast_to(
+                mat.reshape(n_pad * nf, 1), (n_pad * nf, LANES)))
         if e.sph_idx >= 0:
-            lo, hi = e.ptype.bounds(
-                jax.tree.map(lambda a: a[:e.n], params))    # [n,3] each
-            if not plan.static_counts:
-                live = (jnp.arange(e.n) < counts[-1])[:, None]
-                lo = jnp.where(live, lo, BIG)
-                hi = jnp.where(live, hi, -BIG)
-            pad = e.n_chunks * CHUNK - e.n
-            if pad:
-                lo = jnp.concatenate(
-                    [lo, jnp.full((pad, 3), BIG, jnp.float32)])
-                hi = jnp.concatenate(
-                    [hi, jnp.full((pad, 3), -BIG, jnp.float32)])
-            lo_c = lo.reshape(e.n_chunks, CHUNK, 3).min(axis=1)
-            hi_c = hi.reshape(e.n_chunks, CHUNK, 3).max(axis=1)
-            # all-padded chunks (lo=BIG, hi=-BIG) must be genuinely inert:
-            # center far away with radius 0, so their lower bound is huge
-            # and the admit test always skips them (a 0-center sphere would
-            # get a ~+3.5e9 radius from the norm and poison the culling)
-            empty = (hi_c < lo_c).any(axis=1)
-            ctr_c = jnp.where(empty[:, None], 2.0 * BIG,
-                              (lo_c + hi_c) * 0.5)
-            rad_c = jnp.where(empty, 0.0,
-                              jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5)
-            glo_lo = lo_c.min(axis=0)
-            glo_hi = hi_c.max(axis=0)
-            ctr_g = (glo_lo + glo_hi) * 0.5
-            rad_g = jnp.linalg.norm(glo_hi - glo_lo) * 0.5
-            rows = jnp.concatenate([
-                jnp.concatenate([ctr_g, rad_g[None]]),
-                jnp.concatenate([ctr_c, rad_c[:, None]],
-                                axis=1).reshape(-1)])
-            spheres.append(rows.reshape(-1, 1))
+            spheres.append(_sphere_rows(plan, e, params, counts[-1]))
     vec = (jnp.concatenate(parts).reshape(-1, 1) if parts
            else jnp.zeros((1, 1), jnp.float32))
     cnt = (jnp.stack(counts).astype(jnp.int32).reshape(-1, 1) if counts
@@ -352,15 +382,13 @@ class SceneRefs:
     @staticmethod
     def n_args(plan):
         return 2 + sum(1 for e in plan.entries if e.kind == "c") \
-            + sum(1 for e in plan.entries
-                  if e.kind == "c" and e.sph_idx >= 0)
+            + sum(1 for e in plan.entries if e.sph_idx >= 0)
 
     @staticmethod
     def split(plan, args):
         counts, params = args[0], args[1]
         n_c = sum(1 for e in plan.entries if e.kind == "c")
-        n_s = sum(1 for e in plan.entries
-                  if e.kind == "c" and e.sph_idx >= 0)
+        n_s = sum(1 for e in plan.entries if e.sph_idx >= 0)
         chunked = tuple(args[2:2 + n_c])
         spheres = tuple(args[2 + n_c:2 + n_c + n_s])
         return SceneRefs(counts, params, chunked, spheres), \
@@ -448,7 +476,8 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
             return {f: _rep(arr, s * nf + fi, shape)
                     for fi, f in enumerate(e.fields)}
 
-    n_slots_total = e.n_chunks * CHUNK if e.sph_idx >= 0 else e.n
+    n_slots_total = e.n_chunks * e.chunk if e.sph_idx >= 0 else e.n
+    sdf_fn = e.ptype.sdf_planar_derived if e.derived else e.ptype.sdf_planar
 
     def slot_fold(s, carry):
         """Evaluate slot s and fold it into the carry.  Reads clamp to the
@@ -459,7 +488,7 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
         else:
             best = carry
         prm = prm_of(jnp.minimum(s, n_slots_total - 1))
-        d = e.ptype.sdf_planar(prm, px, py, pz)
+        d = sdf_fn(prm, px, py, pz)
         d = jnp.where(s < n_live, d, BIG)
         if info:
             better = d < best
@@ -521,9 +550,13 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
             thr = ccr + rt + margin
 
             def eval_chunk(cr):
+                if e.kind == "s":
+                    for i in range(e.chunk):
+                        cr = slot_fold(c * e.chunk + i, cr)
+                    return cr
                 return jax.lax.fori_loop(
-                    0, CHUNK,
-                    lambda i, cc: slot_fold(c * CHUNK + i, cc), cr)
+                    0, e.chunk,
+                    lambda i, cc: slot_fold(c * e.chunk + i, cc), cr)
 
             def skip_chunk(cr):
                 lbc = jnp.sqrt((px - ccx) ** 2 + (py - ccy) ** 2
@@ -552,7 +585,7 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 def _chunk_tile(plan, margin, px, py, pz, act):
     """The tile bounding sphere, when some entry will consume it."""
     if margin is None or not any(
-            e.kind == "c" and e.sph_idx >= 0 for e in plan.entries):
+            e.sph_idx >= 0 for e in plan.entries):
         return None
     return _tile_bounds(px, py, pz, act)
 
@@ -1029,7 +1062,7 @@ def _vmem_spec():
 def _scene_specs(plan):
     """in_specs for the PackedScene args, matching SceneRefs.split order."""
     n_c = sum(1 for e in plan.entries if e.kind == "c")
-    n_s = sum(1 for e in plan.entries if e.kind == "c" and e.sph_idx >= 0)
+    n_s = sum(1 for e in plan.entries if e.sph_idx >= 0)
     return [_smem_spec(), _smem_spec()] + [_vmem_spec()] * n_c \
         + [_smem_spec()] * n_s
 

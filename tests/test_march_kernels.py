@@ -362,3 +362,30 @@ def test_smem_rolled_layout_and_parity():
     both = np.asarray(hit_ref) & np.asarray(hit_k)
     np.testing.assert_allclose(np.asarray(t_k)[both],
                                np.asarray(t_ref)[both], atol=5e-3)
+
+
+def test_triangle_derived_planar_matches_plain():
+    """sdf_planar_derived on derive() constants == sdf_planar on raw
+    vertices, across random triangles and points."""
+    rng = np.random.RandomState(13)
+    verts = jnp.asarray(rng.randn(16, 3, 3).astype(np.float32) * 2)
+    pts = rng.randn(64, 3).astype(np.float32) * 3
+    px, py, pz = (jnp.asarray(pts[:, i]) for i in range(3))
+    params = {"v1": verts[:, 0], "v2": verts[:, 1], "v3": verts[:, 2],
+              "material_id": jnp.zeros((16,), jnp.int32)}
+    der = P.Triangle.derive(params)
+    for i in range(16):
+        plain_s = {}
+        for k in ("v1", "v2", "v3"):
+            for j, ax in enumerate("xyz"):
+                plain_s[f"{k}_{ax}"] = params[k][i, j]
+        d_plain = P.Triangle.sdf_planar(plain_s, px, py, pz)
+        der_s = {}
+        for name, kind in P.Triangle.derived_fields:
+            if kind == "vec3":
+                for j, ax in enumerate("xyz"):
+                    der_s[f"{name}_{ax}"] = der[name][i, j]
+            else:
+                der_s[name] = der[name][i]
+        d_der = P.Triangle.sdf_planar_derived(der_s, px, py, pz)
+        np.testing.assert_allclose(d_der, d_plain, rtol=1e-5, atol=1e-6)
