@@ -25,20 +25,20 @@ Scene parameters take one of three layouts, chosen per primitive type by
   count.  Types with a ``derive`` form (triangles) pack precomputed
   per-slot constants instead of raw fields.
 
-Rolled types with spatial ``bounds`` additionally carry bounding spheres
+Rolled types with spatial ``bounds`` additionally carry bounding AABBs
 as SMEM scalars (global + per CHUNK/CHUNK_S-slot chunk) driving two
 levels of culling, the TPU analogue of the reference's grid candidate
 culling (madarch-scenes.adb:839-1118) at tile granularity:
 
-  * every scene call computes the AABB bounding sphere of the tile's
-    *active* lanes once (6 vector reduces); each chunk is then admitted or
-    skipped by a pure scalar-core sphere-vs-sphere test — no per-chunk
-    vector reduces, no vector→scalar moves in the ``lax.cond`` predicate
-    (the round-3 attempt paid a reduce per chunk per step and lost);
-  * skipped chunks contribute their per-lane sphere lower bound (sphere
-    tracing only needs a conservative bound ≥ ``margin`` away), admitted
-    chunks run the 16-slot exact loop;
-  * lanes outside ``margin`` of the *global* sphere blend to the global
+  * every scene call computes the AABB of the tile's *active* lanes once
+    (6 vector reduces); each chunk is then admitted or skipped by a pure
+    scalar-core box-to-box gap test — no per-chunk vector reduces, no
+    vector→scalar moves in the ``lax.cond`` predicate (the round-3
+    attempt paid a reduce per chunk per step and lost);
+  * skipped chunks contribute their per-lane point-to-AABB lower bound
+    (sphere tracing only needs a conservative bound ≥ ``margin`` away),
+    admitted chunks run the exact slot loop;
+  * lanes outside ``margin`` of the *global* AABB blend to the global
     lower bound per-lane, and a whole-entry scalar test skips even the
     chunk loop when every active lane is far.
 
@@ -96,9 +96,11 @@ UNROLL_SLOTS_MAX = 8
 # heavily-bounded types (meshes) take the chunked VMEM layout + culling.
 SMEM_ROLLED_SCALARS_MAX = 512
 SMEM_ROLLED_SLOTS_MAX = 64
-# Partial-unroll factor for the SMEM-rolled slot loop (v5e A/B: 8 beats
-# 4 by ~4% on simple_scene; full unroll re-inflates compile).
-S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "8"))
+# Partial-unroll cap for the SMEM-rolled slot loop; the per-entry factor
+# balances block count so no block evaluates clamped padding slots
+# (v5e A/B on simple_scene: 20 → 99.8 M rays/s @ 55 s compile,
+# 8 → 77.1 M, 12 → 65.5 M — unbalanced blocks waste clamped evals).
+S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "20"))
 # Chunk granularity for bounding spheres: per-culling-chunk slot counts
 # for the chunked-VMEM and SMEM-rolled layouts (the rolled chunks are
 # smaller — cheap SDFs gain more from skipping than from amortizing).
@@ -173,12 +175,12 @@ class ScenePlan:
 class PackedScene:
     """Dynamic half: device arrays consumed by the kernels (a pytree).
 
-    vec: f32[NP, 1] scalars for unrolled types (SMEM).
+    vec: f32[NP, 1] scalars for unrolled/rolled types (SMEM).
     counts: i32[ntypes, 1] live counts (SMEM).
     chunked: per chunked type, f32[n_pad·NF, 128] lane-replicated scalars.
-    spheres: per bounded chunked type, f32[(1+n_chunks)·4, 1] SMEM
-      scalars: global + per-chunk bounding spheres (cx cy cz r).  SMEM so
-      the chunk admit test runs entirely on the scalar core.
+    spheres: per bounded rolled type, f32[(1+n_chunks)·6, 1] SMEM
+      scalars: global + per-chunk bounding AABBs (lo xyz, hi xyz).  SMEM
+      so the chunk admit test runs entirely on the scalar core.
     """
 
     vec: jnp.ndarray
@@ -268,8 +270,14 @@ def build_plan(spec):
 
 
 def _sphere_rows(plan, e, params, count):
-    """Global + per-chunk bounding-sphere SMEM rows for a bounded rolled
-    entry: f32[(1+n_chunks)·4, 1] of (cx cy cz r)."""
+    """Global + per-chunk bounding-AABB SMEM rows for a bounded rolled
+    entry: f32[(1+n_chunks)·6, 1] of (lox loy loz hix hiy hiz).
+
+    AABBs beat bounding spheres here: Morton-run chunks are elongated, so
+    a sphere carries half-diagonal slack into both the admit test and the
+    skip-branch lower bound.  All-padded chunks keep lo=BIG/hi=-BIG —
+    the point-to-box distance max(lo−p, p−hi, 0) is then huge on every
+    axis, so they are naturally inert (no special-casing)."""
     lo, hi = e.ptype.bounds(
         jax.tree.map(lambda a: a[:e.n], params))            # [n,3] each
     if not plan.static_counts:
@@ -282,21 +290,9 @@ def _sphere_rows(plan, e, params, count):
         hi = jnp.concatenate([hi, jnp.full((pad, 3), -BIG, jnp.float32)])
     lo_c = lo.reshape(e.n_chunks, e.chunk, 3).min(axis=1)
     hi_c = hi.reshape(e.n_chunks, e.chunk, 3).max(axis=1)
-    # all-padded chunks (lo=BIG, hi=-BIG) must be genuinely inert:
-    # center far away with radius 0, so their lower bound is huge and the
-    # admit test always skips them (a 0-center sphere would get a ~+3.5e9
-    # radius from the norm and poison the culling)
-    empty = (hi_c < lo_c).any(axis=1)
-    ctr_c = jnp.where(empty[:, None], 2.0 * BIG, (lo_c + hi_c) * 0.5)
-    rad_c = jnp.where(empty, 0.0,
-                      jnp.linalg.norm(hi_c - lo_c, axis=1) * 0.5)
-    glo_lo = lo_c.min(axis=0)
-    glo_hi = hi_c.max(axis=0)
-    ctr_g = (glo_lo + glo_hi) * 0.5
-    rad_g = jnp.linalg.norm(glo_hi - glo_lo) * 0.5
+    glo = jnp.concatenate([lo_c.min(axis=0), hi_c.max(axis=0)])
     rows = jnp.concatenate([
-        jnp.concatenate([ctr_g, rad_g[None]]),
-        jnp.concatenate([ctr_c, rad_c[:, None]], axis=1).reshape(-1)])
+        glo, jnp.concatenate([lo_c, hi_c], axis=1).reshape(-1)])
     return rows.reshape(-1, 1)
 
 
@@ -401,10 +397,11 @@ def _rep(ref, idx, shape):
 
 
 def _tile_bounds(px, py, pz, act):
-    """Scalar bounding sphere (center, radius) of the tile's active-lane
+    """Scalar AABB (lox loy loz hix hiy hiz) of the tile's active-lane
     positions: the per-call inputs of the scalar-core chunk admit test.
     Inactive (converged) lanes are excluded so they don't inflate the
-    bounds; with no active lane the AABB degenerates and every result of
+    bounds; with no active lane the AABB degenerates (lo=BIG, hi=-BIG):
+    the admit gap becomes huge, everything skips, and every result of
     the call is don't-care anyway."""
     if act is None:
         lox, hix = jnp.min(px), jnp.max(px)
@@ -418,13 +415,7 @@ def _tile_bounds(px, py, pz, act):
         hiy = jnp.max(jnp.where(on, py, -BIG))
         loz = jnp.min(jnp.where(on, pz, BIG))
         hiz = jnp.max(jnp.where(on, pz, -BIG))
-    tcx = (lox + hix) * 0.5
-    tcy = (loy + hiy) * 0.5
-    tcz = (loz + hiz) * 0.5
-    rt = 0.5 * jnp.sqrt(jnp.maximum(hix - lox, 0.0) ** 2
-                        + jnp.maximum(hiy - loy, 0.0) ** 2
-                        + jnp.maximum(hiz - loz, 0.0) ** 2)
-    return tcx, tcy, tcz, rt
+    return lox, loy, loz, hix, hiy, hiz
 
 
 def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
@@ -514,18 +505,19 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 
     def exact():
         # SMEM-rolled loops partially unroll by hand (Mosaic's fori_loop
-        # supports only unroll=1 or full): S_UNROLL slot bodies per
-        # iteration recover most of the full-unroll pipelining at ~4
-        # compiled bodies per site instead of n
+        # supports only unroll=1 or full).  Block count balances so the
+        # last block wastes at most (blocks·u − n) clamped evals — zero
+        # whenever n ≤ S_UNROLL or divides evenly.
         if e.kind == "s" and S_UNROLL > 1:
-            u = S_UNROLL
+            blocks = -(-n_slots_total // S_UNROLL)
+            u = -(-n_slots_total // blocks)
 
             def block_fold(i, carry):
                 for j in range(u):
                     carry = slot_fold(i * u + j, carry)
                 return carry
 
-            return jax.lax.fori_loop(0, -(-n_slots_total // u), block_fold,
+            return jax.lax.fori_loop(0, blocks, block_fold,
                                      init_carry(max_dist))
         return jax.lax.fori_loop(0, n_slots_total, slot_fold,
                                  init_carry(max_dist))
@@ -534,20 +526,34 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
         return exact()
 
     sph = refs.spheres[e.sph_idx]
-    gcx, gcy, gcz, gcr = sph[0, 0], sph[1, 0], sph[2, 0], sph[3, 0]
-    lbg = jnp.sqrt((px - gcx) ** 2 + (py - gcy) ** 2
-                   + (pz - gcz) ** 2) - gcr
-    tcx, tcy, tcz, rt = tile
+
+    def box6(base):
+        return (sph[base, 0], sph[base + 1, 0], sph[base + 2, 0],
+                sph[base + 3, 0], sph[base + 4, 0], sph[base + 5, 0])
+
+    def box_lb(lox, loy, loz, hix, hiy, hiz):
+        """Per-lane lower bound: distance from p to the AABB."""
+        bx = jnp.maximum(jnp.maximum(lox - px, px - hix), 0.0)
+        by = jnp.maximum(jnp.maximum(loy - py, py - hiy), 0.0)
+        bz = jnp.maximum(jnp.maximum(loz - pz, pz - hiz), 0.0)
+        return jnp.sqrt(bx * bx + by * by + bz * bz)
+
+    tlx, tly, tlz, thx, thy, thz = tile
+
+    def gap2(lox, loy, loz, hix, hiy, hiz):
+        """Scalar-core box-to-box gap² (tile AABB vs chunk AABB)."""
+        gx = jnp.maximum(jnp.maximum(lox - thx, tlx - hix), 0.0)
+        gy = jnp.maximum(jnp.maximum(loy - thy, tly - hiy), 0.0)
+        gz = jnp.maximum(jnp.maximum(loz - thz, tlz - hiz), 0.0)
+        return gx * gx + gy * gy + gz * gz
+
+    gbox = box6(0)
+    lbg = box_lb(*gbox)
+    m2 = margin * margin
 
     def near():
         def chunk_body(c, carry):
-            b = 4 + 4 * c
-            ccx, ccy, ccz, ccr = sph[b, 0], sph[b + 1, 0], \
-                sph[b + 2, 0], sph[b + 3, 0]
-            # scalar-core admit test: does the chunk sphere come within
-            # margin of the active-lane tile sphere?
-            dc2 = (tcx - ccx) ** 2 + (tcy - ccy) ** 2 + (tcz - ccz) ** 2
-            thr = ccr + rt + margin
+            cbox = box6(6 + 6 * c)
 
             def eval_chunk(cr):
                 if e.kind == "s":
@@ -559,21 +565,17 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
                     lambda i, cc: slot_fold(c * e.chunk + i, cc), cr)
 
             def skip_chunk(cr):
-                lbc = jnp.sqrt((px - ccx) ** 2 + (py - ccy) ** 2
-                               + (pz - ccz) ** 2) - ccr
-                return fold_bound(lbc, cr)
+                return fold_bound(box_lb(*cbox), cr)
 
-            return jax.lax.cond(dc2 < thr * thr, eval_chunk, skip_chunk,
+            return jax.lax.cond(gap2(*cbox) < m2, eval_chunk, skip_chunk,
                                 carry)
 
         return jax.lax.fori_loop(0, e.n_chunks, chunk_body,
                                  init_carry(max_dist))
 
     # whole-entry scalar test: skip even the chunk loop when every active
-    # lane is ≥ margin from the global sphere
-    dg2 = (tcx - gcx) ** 2 + (tcy - gcy) ** 2 + (tcz - gcz) ** 2
-    thr_g = gcr + rt + margin
-    out = jax.lax.cond(dg2 < thr_g * thr_g, near,
+    # lane is ≥ margin from the global box
+    out = jax.lax.cond(gap2(*gbox) < m2, near,
                        lambda: init_carry(BIG))
     far_blend = jnp.minimum(lbg, max_dist)
     if info:

@@ -257,20 +257,20 @@ def test_chunked_plan_layout(chunked_scene):
     # replicated rows: all lanes equal
     arr = np.asarray(packed.chunked[0])
     np.testing.assert_array_equal(arr[:, 0], arr[:, 63])
-    # spheres contain their geometry (global: all vertices; chunks: their
-    # slots' vertices)
-    sph = np.asarray(packed.spheres[0])[:, 0].reshape(-1, 4)
+    # bounding AABBs contain their geometry (global: all vertices;
+    # chunks: their slots' vertices)
+    sph = np.asarray(packed.spheres[0])[:, 0].reshape(-1, 6)
     g, chunks = sph[0], sph[1:]
     verts = np.stack([np.asarray(data.prims["triangle"][k][:80])
                       for k in ("v1", "v2", "v3")], axis=1)  # [n,3,3]
-    d_all = np.linalg.norm(verts.reshape(-1, 3) - g[:3], axis=1)
-    assert (d_all <= g[3] + 1e-4).all()
+    flat = verts.reshape(-1, 3)
+    assert (flat >= g[:3] - 1e-4).all() and (flat <= g[3:] + 1e-4).all()
     for c in range(len(chunks)):
         vs = verts[c * M.CHUNK:(c + 1) * M.CHUNK].reshape(-1, 3)
         if len(vs) == 0:
             continue
-        d_c = np.linalg.norm(vs - chunks[c, :3], axis=1)
-        assert (d_c <= chunks[c, 3] + 1e-4).all()
+        assert (vs >= chunks[c, :3] - 1e-4).all()
+        assert (vs <= chunks[c, 3:] + 1e-4).all()
 
 
 def test_chunked_raycast_parity(chunked_scene):
