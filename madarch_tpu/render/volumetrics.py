@@ -177,7 +177,7 @@ def composite(vol: VolumetricsSettings, scattering, color, ray_len, width,
     """
     import numpy as np
 
-    from madarch_tpu.core.resample import shift_clamped, take_static
+    from madarch_tpu.core.resample import take_static
 
     sx, sy = vol.scattering_resolution
 
@@ -190,23 +190,20 @@ def composite(vol: VolumetricsSettings, scattering, color, ray_len, width,
         return np.round(tex * np.float32(n_tex)
                         - np.float32(0.5)).astype(np.int64)
 
-    # clipping ix/iy BEFORE the ±1 neighborhood shifts matches the old
-    # clip-after formulation only while round(tex·n_tex − 0.5) stays inside
-    # [0, n_tex−1], i.e. while the scattering map is not finer than the
-    # screen — true for every config (250² map vs 800² screen) and pinned
-    # here so an upsampling config can't silently change border behavior
-    assert sx <= width and sy <= height, (
-        "scattering resolution above screen resolution changes the 3×3 "
-        "composite's border behavior; re-derive the clip placement first")
-    ix = np.clip(center_map(width, sx), 0, sx - 1)
-    iy = np.clip(center_map(height, sy), 0, sy - 1)
+    ix = center_map(width, sx)
+    iy = center_map(height, sy)
 
     closest = jnp.full(ray_len.shape, max_dist, jnp.float32)
     fog = jnp.zeros_like(color)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            sh = shift_clamped(shift_clamped(scattering, 0, dy), 1, dx)
-            up = take_static(take_static(sh, iy, axis=0), ix, axis=1)
+            # the ±1 neighborhood shift folds into the static per-pixel
+            # index maps, clipped AFTER shifting — identical to the
+            # original per-pixel clamp(i+d) at every resolution ratio
+            # (including scattering maps finer than the screen)
+            up = take_static(take_static(
+                scattering, np.clip(iy + dy, 0, sy - 1), axis=0),
+                np.clip(ix + dx, 0, sx - 1), axis=1)
             datum = up.reshape(-1, 4)                           # [H·W,4]
             dist = jnp.abs(datum[..., 3] - ray_len)
             better = dist < closest
