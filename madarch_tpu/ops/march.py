@@ -104,9 +104,15 @@ S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "20"))
 # Chunk granularity for bounding spheres: per-culling-chunk slot counts
 # for the chunked-VMEM and SMEM-rolled layouts (the rolled chunks are
 # smaller — cheap SDFs gain more from skipping than from amortizing).
-CHUNK = int(os.environ.get("MADARCH_CHUNK", "16"))
+CHUNK = int(os.environ.get("MADARCH_CHUNK", "8"))
 CHUNK_S = int(os.environ.get("MADARCH_CHUNK_S", "8"))
 S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
+# Second culling level: groups of SUPER chunks get their own AABB row and
+# one admit test, used when a type has at least SUPER_MIN chunks — cuts
+# the per-call scalar cond count from n_chunks to
+# n_supers + SUPER·(admitted supers).
+SUPER = int(os.environ.get("MADARCH_SUPER", "8"))
+SUPER_MIN = 16
 # Far-field short-circuit distance for bounded chunked types: lanes whose
 # global-sphere lower bound exceeds this read the bound instead of the
 # exact distance (safe: sphere tracing needs a lower bound; hit tests
@@ -131,6 +137,7 @@ class PlanEntry:
     sph_idx: int = -1    # "s"/"c": index into PackedScene.spheres (-1: none)
     n_chunks: int = 0    # "s"/"c": chunk count (bounded types)
     chunk: int = 0       # "s"/"c": slots per culling chunk
+    n_supers: int = 0    # second culling level (0: single-level)
     derived: bool = False  # "c": params are ptype.derive() constants
 
 
@@ -255,11 +262,13 @@ def build_plan(spec):
             derived = getattr(ptype, "derive", None) is not None
             if derived:
                 names = _scalar_names(ptype.derived_fields)
+            n_supers = (-(-n_chunks // SUPER)
+                        if bounded and n_chunks >= SUPER_MIN else 0)
             entries.append(PlanEntry(
                 kind="c", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
                 fields=tuple(names), arr_idx=arr_idx,
                 sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks,
-                chunk=CHUNK, derived=derived))
+                chunk=CHUNK, n_supers=n_supers, derived=derived))
             arr_idx += 1
             if bounded:
                 sph_idx += 1
@@ -291,8 +300,21 @@ def _sphere_rows(plan, e, params, count):
     lo_c = lo.reshape(e.n_chunks, e.chunk, 3).min(axis=1)
     hi_c = hi.reshape(e.n_chunks, e.chunk, 3).max(axis=1)
     glo = jnp.concatenate([lo_c.min(axis=0), hi_c.max(axis=0)])
-    rows = jnp.concatenate([
-        glo, jnp.concatenate([lo_c, hi_c], axis=1).reshape(-1)])
+    if e.n_supers:
+        padc = e.n_supers * SUPER - e.n_chunks
+        if padc:
+            lo_c = jnp.concatenate(
+                [lo_c, jnp.full((padc, 3), BIG, jnp.float32)])
+            hi_c = jnp.concatenate(
+                [hi_c, jnp.full((padc, 3), -BIG, jnp.float32)])
+        lo_s = lo_c.reshape(e.n_supers, SUPER, 3).min(axis=1)
+        hi_s = hi_c.reshape(e.n_supers, SUPER, 3).max(axis=1)
+        rows = jnp.concatenate([
+            glo, jnp.concatenate([lo_s, hi_s], axis=1).reshape(-1),
+            jnp.concatenate([lo_c, hi_c], axis=1).reshape(-1)])
+    else:
+        rows = jnp.concatenate([
+            glo, jnp.concatenate([lo_c, hi_c], axis=1).reshape(-1)])
     return rows.reshape(-1, 1)
 
 
@@ -551,26 +573,45 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
     lbg = box_lb(*gbox)
     m2 = margin * margin
 
+    chunk_base = 6 + 6 * e.n_supers  # chunk rows follow global + supers
+
+    def chunk_body(c, carry):
+        cbox = box6(chunk_base + 6 * c)
+
+        def eval_chunk(cr):
+            if e.kind == "s":
+                for i in range(e.chunk):
+                    cr = slot_fold(c * e.chunk + i, cr)
+                return cr
+            return jax.lax.fori_loop(
+                0, e.chunk,
+                lambda i, cc: slot_fold(c * e.chunk + i, cc), cr)
+
+        def skip_chunk(cr):
+            return fold_bound(box_lb(*cbox), cr)
+
+        return jax.lax.cond(gap2(*cbox) < m2, eval_chunk, skip_chunk,
+                            carry)
+
     def near():
-        def chunk_body(c, carry):
-            cbox = box6(6 + 6 * c)
+        if e.n_supers == 0:
+            return jax.lax.fori_loop(0, e.n_chunks, chunk_body,
+                                     init_carry(max_dist))
 
-            def eval_chunk(cr):
-                if e.kind == "s":
-                    for i in range(e.chunk):
-                        cr = slot_fold(c * e.chunk + i, cr)
-                    return cr
+        def super_body(si, carry):
+            sbox = box6(6 + 6 * si)
+
+            def admit(cr):
                 return jax.lax.fori_loop(
-                    0, e.chunk,
-                    lambda i, cc: slot_fold(c * e.chunk + i, cc), cr)
+                    0, SUPER,
+                    lambda j, cc: chunk_body(si * SUPER + j, cc), cr)
 
-            def skip_chunk(cr):
-                return fold_bound(box_lb(*cbox), cr)
+            def skip(cr):
+                return fold_bound(box_lb(*sbox), cr)
 
-            return jax.lax.cond(gap2(*cbox) < m2, eval_chunk, skip_chunk,
-                                carry)
+            return jax.lax.cond(gap2(*sbox) < m2, admit, skip, carry)
 
-        return jax.lax.fori_loop(0, e.n_chunks, chunk_body,
+        return jax.lax.fori_loop(0, e.n_supers, super_body,
                                  init_carry(max_dist))
 
     # whole-entry scalar test: skip even the chunk loop when every active

@@ -389,3 +389,33 @@ def test_triangle_derived_planar_matches_plain():
                 der_s[name] = der[name][i]
         d_der = P.Triangle.sdf_planar_derived(der_s, px, py, pz)
         np.testing.assert_allclose(d_der, d_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_super_chunk_culling_parity():
+    """A 200-triangle scene crosses SUPER_MIN: the two-level culling path
+    (super admit/skip + chunk admit/skip) must agree with the XLA march."""
+    spec, data = build_chunked_scene(n_tris=200)
+    plan = M.build_plan(spec)
+    tri = next(e for e in plan.entries if e.ptype.name == "triangle")
+    assert tri.n_supers > 0, "scene must exercise the super level"
+    packed = M.pack_params(plan, data)
+    # super boxes contain their chunks' boxes
+    rows = np.asarray(packed.spheres[0])[:, 0]
+    n_sup = tri.n_supers
+    sup = rows[6:6 + 6 * n_sup].reshape(n_sup, 6)
+    chk = rows[6 + 6 * n_sup:].reshape(-1, 6)
+    for si in range(n_sup):
+        grp = chk[si * M.SUPER:(si + 1) * M.SUPER]
+        real = grp[(grp[:, 0] <= grp[:, 3])]  # non-inert chunks
+        if len(real) == 0:
+            continue
+        assert (real[:, :3] >= sup[si, :3] - 1e-4).all()
+        assert (real[:, 3:] <= sup[si, 3:] + 1e-4).all()
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    origins, dirs = rand_rays(64, seed=41)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    assert (np.asarray(hit_ref) == np.asarray(hit_k)).mean() >= 0.98
+    both = np.asarray(hit_ref) & np.asarray(hit_k)
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
