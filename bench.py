@@ -299,6 +299,12 @@ def main():
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           file=sys.stderr)
+    # absorb the remote compile service's cold start (worth minutes on the
+    # first compile of a process — see memory: 16× variance) so the first
+    # config's compile_s measures ITS compile, not service warmup
+    t0 = time.time()
+    _sync(scenes.global_illumination(width=64, height=64).render())
+    print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
     size = 800
     configs = {}
 

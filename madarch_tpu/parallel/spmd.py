@@ -135,8 +135,10 @@ def make_sharded_render(spec: SceneSpec, probes: ProbeSettings,
                         mesh: Mesh,
                         screen_cfg: ShadeConfig = None,
                         probe_cfg: ShadeConfig = PROBE_SHADE_CONFIG):
-    """Jitted frame function with rays sharded over the mesh."""
-    shard = ray_sharder(mesh)
+    """Jitted frame function with rays sharded over the mesh.
+
+    A 1-device mesh skips the shard_map wrapper (it buys nothing there)."""
+    shard = ray_sharder(mesh) if mesh.devices.size > 1 else None
 
     @jax.jit
     def run(data: SceneData, camera: Camera, state: FrameState):
@@ -167,7 +169,8 @@ def make_train_step(spec: SceneSpec, probes: ProbeSettings,
         screen_cfg = screen_shade_config(vol.enabled)
     screen_cfg = dataclasses.replace(screen_cfg, differentiable=True)
     probe_cfg = dataclasses.replace(probe_cfg, differentiable=True)
-    shard = ray_sharder(mesh)
+    # a 1-device mesh skips the shard_map wrapper (it buys nothing there)
+    shard = ray_sharder(mesh) if mesh.devices.size > 1 else None
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def step(data: SceneData, camera: Camera, state: FrameState, target):
