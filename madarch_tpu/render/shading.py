@@ -145,8 +145,20 @@ def _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
     data_sg = jax.tree.map(lax.stop_gradient, data)
     _, prim_index = jax.vmap(
         lambda p: scene_sdf_info(spec, data_sg, p))(spec_pos)
-    s_normal, s_mid = jax.vmap(
-        lambda i, p: primitive_info(spec, data, i, p))(prim_index, spec_pos)
+    if cfg.differentiable:
+        # per-ray primitive_info gathers f32 params by dynamic index; the
+        # transpose is a SERIAL 65k-update scatter-add (two XLA while
+        # loops eating ~350 ms of the 256² train step).  The SDF-gradient
+        # normal is identical at the winning primitive's surface and its
+        # transpose is dense; material ids are an int gather (no grads).
+        from madarch_tpu.scene.scene import primitive_material_id
+        s_mid = primitive_material_id(spec, data, prim_index)
+        sdfd = sdf_b.sdf_b_diff if hasattr(sdf_b, "sdf_b_diff") else sdf_b
+        s_normal = scene_normal(sdfd, spec_pos)
+    else:
+        s_normal, s_mid = jax.vmap(
+            lambda i, p: primitive_info(spec, data, i, p))(prim_index,
+                                                           spec_pos)
 
     vis = None
     if need_vis:
