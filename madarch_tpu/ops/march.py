@@ -113,6 +113,8 @@ S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
 # n_supers + SUPER·(admitted supers).
 SUPER = int(os.environ.get("MADARCH_SUPER", "8"))
 SUPER_MIN = 16
+# Unroll of the destacked probe-visibility marches (big plans).
+VIS_DESTACK_UNROLL = int(os.environ.get("MADARCH_VIS_UNROLL", "3"))
 # Far-field short-circuit distance for bounded chunked types: lanes whose
 # global-sphere lower bound exceeds this read the bound instead of the
 # exact distance (safe: sphere tracing needs a lower bound; hit tests
@@ -445,12 +447,13 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
     """Min distance of one type over a (R,128) tile.
 
     info=False -> returns d; info=True -> (d, local slot f32, mid f32).
-    Chunked bounded types cull through the SMEM bounding spheres when
-    ``margin`` is not None: a scalar sphere-vs-sphere test per chunk
-    against the active-lane tile sphere (``tile``) admits or skips each
-    16-slot chunk; skipped chunks contribute their per-lane lower bound
-    (≥ margin for every active lane — safe for marches, hit tests, and
-    the min structure at points whose true distance < margin)."""
+    Bounded rolled types cull through the SMEM AABB rows when ``margin``
+    is not None: a scalar box-to-box gap test per chunk (and per
+    super-chunk) against the active-lane tile AABB (``tile``) admits or
+    skips each chunk; skipped chunks contribute their per-lane
+    point-to-box lower bound (≥ margin for every active lane — safe for
+    marches, hit tests, and the min structure at points whose true
+    distance < margin)."""
     cnt = None if plan.static_counts else refs.counts[e.t_idx, 0]
     shape = px.shape
 
@@ -1023,7 +1026,8 @@ def _geometry_kernel(plan, cfg, *args):
             inv = 1.0 / pdist
             vis_out[k] = _march_visibility(
                 scene, (sox, soy, soz), (wx * inv, wy * inv, wz * inv),
-                pdist - surf_off, hit, eps, max_steps, omega, unroll=2)
+                pdist - surf_off, hit, eps, max_steps, omega,
+                unroll=VIS_DESTACK_UNROLL)
     elif want_vis:
         cellx = jnp.floor(px / spx)
         celly = jnp.floor(py / spy)

@@ -419,3 +419,23 @@ def test_super_chunk_culling_parity():
     both = np.asarray(hit_ref) & np.asarray(hit_k)
     np.testing.assert_allclose(np.asarray(t_k)[both],
                                np.asarray(t_ref)[both], atol=5e-3)
+
+
+def test_smem_rolled_culling_optin_parity(monkeypatch):
+    """MADARCH_S_CULL=1 layout: rolled types gain chunk AABBs; marches
+    stay ray-for-ray consistent with the XLA path."""
+    monkeypatch.setattr(M, "S_CULL", True)
+    spec, data = build_rolled_scene()
+    plan = M.build_plan(spec)
+    sph = next(e for e in plan.entries if e.ptype.name == "sphere")
+    assert sph.kind == "s" and sph.sph_idx >= 0 and sph.n_chunks > 0
+    packed = M.pack_params(plan, data)
+    assert len(packed.spheres) == 1
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    origins, dirs = rand_rays(64, seed=51)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    assert (np.asarray(hit_ref) == np.asarray(hit_k)).mean() >= 0.98
+    both = np.asarray(hit_ref) & np.asarray(hit_k)
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
