@@ -84,10 +84,6 @@ def main():
           file=sys.stderr)
 
 
-if __name__ == "__main__" and not os.environ.get("BISECT2"):
-    main()
-
-
 def bisect2():
     """(b2) grad wrt ALL float leaves without shard_map/mesh."""
     import dataclasses
@@ -123,5 +119,5 @@ def bisect2():
            r.camera, r.state)
 
 
-if __name__ == "__main__" and os.environ.get("BISECT2"):
-    bisect2()
+if __name__ == "__main__":
+    bisect2() if os.environ.get("BISECT2") else main()
