@@ -189,6 +189,10 @@ def ball_game(width=1000, height=1000, **kwargs):
     (renderer, step_physics, throw_ball)."""
     spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 10), (P.Box, 10)),
                      lights=((L.SpotLight, 4),))
+    # count-dynamic: throwing a ball must NOT recompile the pipeline (the
+    # reference writes the new count into the UBO and keeps its shaders,
+    # madarch-renderers.adb:454-455); slot loops mask by live count
+    kwargs.setdefault("specialize_counts", False)
     r = Renderer(spec, width, height, volumetrics=NO_VOLUMETRICS, **kwargs)
     wall1 = r.add_material((0.0, 0.0, 0.0), 0.0, 0.6)
     wall2 = r.add_material((1.0, 0.0, 0.0), 0.0, 0.6)

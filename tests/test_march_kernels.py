@@ -439,3 +439,33 @@ def test_smem_rolled_culling_optin_parity(monkeypatch):
     both = np.asarray(hit_ref) & np.asarray(hit_k)
     np.testing.assert_allclose(np.asarray(t_k)[both],
                                np.asarray(t_ref)[both], atol=5e-3)
+
+
+def test_dynamic_count_rolled_parity():
+    """Unspecialized spec (dynamic live counts) through the SMEM-rolled
+    layout: slot masking by the runtime count must match the XLA path —
+    the ball_game configuration (counts change without recompiling)."""
+    spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 4)),
+                     lights=((L.PointLight, 1),), max_dist=20.0)
+    b = SceneBuilder(spec)
+    b.add_material((0.5, 0.5, 0.5), 0.0, 0.5)
+    rng = np.random.RandomState(9)
+    for i in range(7):  # 7 live of 20 capacity
+        b.add_primitive(P.Sphere,
+                        center=rng.uniform(-2, 2, 3) + [0, 1.5, 5],
+                        radius=0.5, material_id=0)
+    b.add_primitive(P.Plane, normal=(0.0, 1.0, 0.0), offset=1.0,
+                    material_id=0)
+    b.add_light(L.PointLight, position=(0.0, 5.0, 3.0), color=(1.0,) * 3)
+    data = b.device_data()
+    plan = M.build_plan(spec)
+    assert not plan.static_counts
+    kinds = {e.ptype.name: e.kind for e in plan.entries}
+    assert kinds["sphere"] == "s"
+    packed = M.pack_params(plan, data)
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    origins, dirs = rand_rays(64, seed=61)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_ref))
+    np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
