@@ -115,6 +115,9 @@ SUPER = int(os.environ.get("MADARCH_SUPER", "8"))
 SUPER_MIN = 16
 # Unroll of the destacked probe-visibility marches (big plans).
 VIS_DESTACK_UNROLL = int(os.environ.get("MADARCH_VIS_UNROLL", "3"))
+# Skipped supers contribute a scalar tile-gap bound instead of the
+# per-lane point-to-box (weaker bound, ~8× cheaper skip branch).
+SUPER_SKIP_SCALAR = os.environ.get("MADARCH_SUPER_SKIP_SCALAR", "0") == "1"
 # Far-field short-circuit distance for bounded chunked types: lanes whose
 # global-sphere lower bound exceeds this read the bound instead of the
 # exact distance (safe: sphere tracing needs a lower bound; hit tests
@@ -603,16 +606,24 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 
         def super_body(si, carry):
             sbox = box6(6 + 6 * si)
+            g2 = gap2(*sbox)
 
             def admit(cr):
                 return jax.lax.fori_loop(
                     0, SUPER,
                     lambda j, cc: chunk_body(si * SUPER + j, cc), cr)
 
-            def skip(cr):
-                return fold_bound(box_lb(*sbox), cr)
+            if SUPER_SKIP_SCALAR:
+                # tile-gap scalar bound: valid for every lane (gap from
+                # the tile AABB ≤ any lane's distance), 2 vector ops
+                # instead of a 17-op per-lane point-to-box
+                def skip(cr):
+                    return fold_bound(jnp.sqrt(g2) + px * 0.0, cr)
+            else:
+                def skip(cr):
+                    return fold_bound(box_lb(*sbox), cr)
 
-            return jax.lax.cond(gap2(*sbox) < m2, admit, skip, carry)
+            return jax.lax.cond(g2 < m2, admit, skip, carry)
 
         return jax.lax.fori_loop(0, e.n_supers, super_body,
                                  init_carry(max_dist))
