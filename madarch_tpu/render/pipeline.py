@@ -17,14 +17,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from madarch_tpu.core.config import (NO_VOLUMETRICS, PROBE_SHADE_CONFIG,
+from madarch_tpu.core.config import (PROBE_SHADE_CONFIG,
                                      ProbeSettings, ShadeConfig,
                                      VolumetricsSettings,
                                      screen_shade_config)
 from madarch_tpu.render import probes as probes_mod
 from madarch_tpu.render import volumetrics as vol_mod
 from madarch_tpu.render.camera import camera_rays, pixel_grid
-from madarch_tpu.render.shading import make_sdf_b, pixel_color
+from madarch_tpu.render.shading import pixel_color
 from madarch_tpu.scene.scene import SceneData, SceneSpec
 
 

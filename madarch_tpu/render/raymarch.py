@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from madarch_tpu.core.vecmath import EPSILON, dot
+from madarch_tpu.core.vecmath import EPSILON
 
 # Reference loop bounds (raymarching.glsl:1-2).
 MAX_STEPS = 300

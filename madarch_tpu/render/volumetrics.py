@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from madarch_tpu.core.config import VolumetricsSettings
 from madarch_tpu.core.vecmath import PI, dot

@@ -51,7 +51,6 @@ def main():
     print(f"  3x3 golden luma:\n{golden[y0:y1, x0:x1].mean(axis=-1)}")
 
     # trace the worst pixel's primary ray on both paths
-    import jax.numpy as jnp
     from madarch_tpu.render.camera import camera_rays, pixel_grid
     from madarch_tpu.render.context import SceneCtx
     from madarch_tpu.render.raymarch import raycast

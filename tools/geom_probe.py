@@ -14,7 +14,6 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "obj_mesh"
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     import jax
-    import jax.numpy as jnp
     from functools import partial
     from madarch_tpu.examples import scenes
     from madarch_tpu.core.config import ProbeSettings
