@@ -74,13 +74,15 @@ from jax.experimental.pallas import tpu as pltpu
 from madarch_tpu.core.vecmath import EPSILON
 
 LANES = 128
-TILE_ROWS = 8          # 8×128 = 1024 rays per grid program
+# Rays per grid program: TILE_ROWS×128.  8 rows = one 32×32 screen block
+# (the culling sweet spot for mesh scenes); env-tunable for A/Bs.
+TILE_ROWS = int(os.environ.get("MADARCH_TILE_ROWS", "8"))
 BIG = 1e9
 # March steps executed per while_loop iteration: amortizes the scalar-core
 # condition check + sync across UNROLL vector steps.  Lanes carry an exact
 # per-step max_steps guard, so results are step-for-step identical to the
 # unrolled-by-1 loop.
-UNROLL = 3
+UNROLL = int(os.environ.get("MADARCH_UNROLL", "3"))
 # Central-difference half-step for the in-kernel tetrahedron normal.
 NORMAL_H = 1e-3
 # Types with more live slots than this use a rolled slot loop.  8 keeps
@@ -112,17 +114,43 @@ S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
 # n_supers + SUPER·(admitted supers).
 SUPER = int(os.environ.get("MADARCH_SUPER", "8"))
 SUPER_MIN = 16
-# Unroll of the destacked probe-visibility marches (big plans).
-VIS_DESTACK_UNROLL = int(os.environ.get("MADARCH_VIS_UNROLL", "3"))
+# Unroll of the destacked probe-visibility marches (big plans): 1 wastes
+# no near-convergence evals on expensive scenes (v5e obj_mesh geometry
+# 156 vs 161 ms at unroll 3) and compiles 8 scene bodies instead of 24.
+VIS_DESTACK_UNROLL = int(os.environ.get("MADARCH_VIS_UNROLL", "1"))
 # Skipped supers contribute a scalar tile-gap bound instead of the
 # per-lane point-to-box (weaker bound, ~8× cheaper skip branch).
 SUPER_SKIP_SCALAR = os.environ.get("MADARCH_SUPER_SKIP_SCALAR", "0") == "1"
-# Far-field short-circuit distance for bounded chunked types: lanes whose
-# global-sphere lower bound exceeds this read the bound instead of the
-# exact distance (safe: sphere tracing needs a lower bound; hit tests
-# compare against eps << margin).  Penumbra marches stay exact for k where
-# k·margin/max_dist could dip below 1 (see pallas_softshadows).
-FAR_MARGIN = 0.5
+# Chunk-culling admit margin for march-loop scene evals: skipped chunks
+# contribute their exact per-lane point-to-AABB lower bound, so hits stay
+# exact for any margin > eps and smaller margins just admit fewer chunks
+# per step (the near-surface probe-visibility marches dominate mesh
+# frames; v5e sweep on obj_mesh geometry: 0.5 → 328 ms, 0.15 → 198,
+# 0.06 → 167, 0.03 → 159).  Env-tunable for perf A/Bs.
+FAR_MARGIN = float(os.environ.get("MADARCH_MARGIN", "0.06"))
+# AO/FD-normal scene-value reads stay culled at this fixed margin even
+# when the march margin is tuned below ao_reach (~0.3): the culling there
+# needs ao_reach < margin to keep consumed values exact.
+AO_MARGIN = 0.5
+# Penumbra marches keep at least this margin: a chunk skipped (or omitted
+# from a segment-candidate list) at distance ≥ m bounds its penumbra
+# estimate to k·~m/denom, which clears 1 (no darkening lost) for k = 64
+# out to denom ≈ 9 — the light distances of the example scenes.  Below
+# k = 32 shadows stay exact (see pallas_softshadows).
+SHADOW_MARGIN_MIN = float(os.environ.get("MADARCH_SHADOW_MARGIN", "0.15"))
+# Per-march-call segment candidates (opt-in; =1 replaces the per-step
+# super/chunk cond ladder): before each march, one scalar pass over chunk
+# AABBs vs the AABB of the active rays' full segments builds a compact
+# candidate list in SMEM scratch; every march step then loops only the
+# corridor's chunks.  Omitting non-candidates is sound for marches:
+# geometry ≥ margin from the entire segment can neither be hit nor
+# crossed by those rays, and penumbra influence is bounded as above.
+# Measured on v5e obj_mesh at margin 0.06: 200 ms vs 169 ms for the
+# ladder — the two-level ladder's 16 super conds skip 8 chunks each,
+# while the flat candidate list pays one dynamic-trip cond per chunk —
+# so the ladder stays the default and this is kept for corridor-shaped
+# scenes where candidates are few.
+SEG_CAND = os.environ.get("MADARCH_SEG_CAND", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +207,16 @@ class ScenePlan:
         if any(e.sph_idx >= 0 for e in self.entries):
             return FAR_MARGIN
         return None
+
+    @property
+    def all_bounded(self):
+        """True when every live entry carries a global AABB — then a ray
+        beyond the exit of every (margin-inflated) box can hit nothing,
+        and marches clamp their budget to the per-lane box exit
+        (_ray_box_cap): sky rays and probe-visibility tails stop at the
+        scene's spatial extent instead of marching empty space."""
+        return bool(self.entries) and all(
+            e.sph_idx >= 0 for e in self.entries)
 
 
 @jax.tree_util.register_dataclass
@@ -444,8 +482,124 @@ def _tile_bounds(px, py, pz, act):
     return lox, loy, loz, hix, hiy, hiz
 
 
+def _seg_box(o, d, mx, en):
+    """Scalar AABB of the enabled lanes' full ray segments {o, o+mx·d}.
+
+    Segments are straight, so the AABB of the two endpoint sets contains
+    every point any enabled ray can ever visit during its march — the
+    input of the per-march-call candidate build."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ex = ox + mx * dx
+    ey = oy + mx * dy
+    ez = oz + mx * dz
+    on = en > 0.5
+    lox = jnp.minimum(jnp.min(jnp.where(on, ox, BIG)),
+                      jnp.min(jnp.where(on, ex, BIG)))
+    hix = jnp.maximum(jnp.max(jnp.where(on, ox, -BIG)),
+                      jnp.max(jnp.where(on, ex, -BIG)))
+    loy = jnp.minimum(jnp.min(jnp.where(on, oy, BIG)),
+                      jnp.min(jnp.where(on, ey, BIG)))
+    hiy = jnp.maximum(jnp.max(jnp.where(on, oy, -BIG)),
+                      jnp.max(jnp.where(on, ey, -BIG)))
+    loz = jnp.minimum(jnp.min(jnp.where(on, oz, BIG)),
+                      jnp.min(jnp.where(on, ez, BIG)))
+    hiz = jnp.maximum(jnp.max(jnp.where(on, oz, -BIG)),
+                      jnp.max(jnp.where(on, ez, -BIG)))
+    return lox, loy, loz, hix, hiy, hiz
+
+
+def _build_candidates(e, refs, seg, cand_ref, margin):
+    """One branch-free scalar pass over a bounded entry's chunk AABBs:
+    chunks whose box-to-box gap against the segment AABB is < margin are
+    compacted into ``cand_ref`` (SMEM scratch); returns the count.  The
+    store is unconditional at the running count, so skipped chunks are
+    simply overwritten by the next admitted one — no lax.cond."""
+    sph = refs.spheres[e.sph_idx]
+    slx, sly, slz, shx, shy, shz = seg
+    m2 = margin * margin
+    chunk_base = 6 + 6 * e.n_supers
+
+    def body(c, cnt):
+        base = chunk_base + 6 * c
+        lox, loy, loz = sph[base, 0], sph[base + 1, 0], sph[base + 2, 0]
+        hix, hiy, hiz = sph[base + 3, 0], sph[base + 4, 0], sph[base + 5, 0]
+        gx = jnp.maximum(jnp.maximum(lox - shx, slx - hix), 0.0)
+        gy = jnp.maximum(jnp.maximum(loy - shy, sly - hiy), 0.0)
+        gz = jnp.maximum(jnp.maximum(loz - shz, slz - hiz), 0.0)
+        cand_ref[cnt] = c
+        return cnt + (gx * gx + gy * gy + gz * gz < m2).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, e.n_chunks, body, jnp.int32(0))
+
+
+def _ray_box_cap(plan, refs, o, d, margin):
+    """Per-lane march budget from the bounded entries' global AABBs: the
+    slab-test exit t of each margin-inflated box, maxed over entries and
+    clamped at 0.  Beyond it the ray stays > margin from every bounded
+    box, so with an all-bounded plan nothing can be hit or block — sound
+    for primary/visibility marches at any margin > eps, and for penumbra
+    marches at shadow margins where k·margin/denom clears 1 (the same
+    bound as chunk skipping; see SHADOW_MARGIN_MIN).  Returns None when
+    some entry is unbounded (the cap would be wrong) or culling is off."""
+    if margin is None or not plan.all_bounded \
+            or os.environ.get("MADARCH_NO_CAP", "") == "1":
+        return None
+    ox, oy, oz = o
+    dx, dy, dz = d
+
+    def slab(lo, hi, oo, dd):
+        ds = jnp.where(jnp.abs(dd) < 1e-12, 1e-12, dd)
+        inv = 1.0 / ds
+        t1 = (lo - oo) * inv
+        t2 = (hi - oo) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    cap = None
+    for e in plan.entries:
+        if e.sph_idx < 0:
+            continue
+        sph = refs.spheres[e.sph_idx]
+        n1, x1 = slab(sph[0, 0] - margin, sph[3, 0] + margin, ox, dx)
+        n2, x2 = slab(sph[1, 0] - margin, sph[4, 0] + margin, oy, dy)
+        n3, x3 = slab(sph[2, 0] - margin, sph[5, 0] + margin, oz, dz)
+        t_en = jnp.maximum(jnp.maximum(n1, n2), n3)
+        t_ex = jnp.minimum(jnp.minimum(x1, x2), x3)
+        ecap = jnp.where(t_en <= t_ex, jnp.maximum(t_ex, 0.0), 0.0)
+        cap = ecap if cap is None else jnp.maximum(cap, ecap)
+    return cap
+
+
+def _make_march_scene(plan, refs, scratch, o, d, mx, en, max_dist, margin):
+    """Scene closure for one march call: builds per-entry segment
+    candidates ONCE (amortized over every step of the march) and returns
+    a (px, py, pz, act) -> distance closure whose per-step chunk culling
+    runs over the candidates alone.  Falls back to the per-step
+    super/chunk ladder when candidates are disabled or nothing is
+    bounded."""
+    bounded = [e for e in plan.entries if e.sph_idx >= 0]
+    if margin is None or not bounded or not SEG_CAND or not scratch:
+        def scene_plain(px, py, pz, act):
+            return _scene_dist(plan, refs, px, py, pz, max_dist,
+                               margin=margin, act=act)
+        return scene_plain
+
+    if not isinstance(mx, tuple) and getattr(mx, "ndim", 0) == 0:
+        mx = jnp.full(o[0].shape, mx, jnp.float32)
+    seg = _seg_box(o, d, mx, en)
+    cand = {e.sph_idx: (scratch[e.sph_idx],
+                        _build_candidates(e, refs, seg, scratch[e.sph_idx],
+                                          margin))
+            for e in bounded}
+
+    def scene(px, py, pz, act):
+        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
+                           act=act, cand=cand)
+    return scene
+
+
 def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
-               tile=None):
+               tile=None, cand=None):
     """Min distance of one type over a (R,128) tile.
 
     info=False -> returns d; info=True -> (d, local slot f32, mid f32).
@@ -455,7 +609,12 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
     skips each chunk; skipped chunks contribute their per-lane
     point-to-box lower bound (≥ margin for every active lane — safe for
     marches, hit tests, and the min structure at points whose true
-    distance < margin)."""
+    distance < margin).
+
+    ``cand``: optional {sph_idx: (smem ref, count)} segment-candidate
+    lists (march loops only — see _make_march_scene): the per-step test
+    then runs over the candidate chunks alone and all other chunks are
+    omitted outright."""
     cnt = None if plan.static_counts else refs.counts[e.t_idx, 0]
     shape = px.shape
 
@@ -583,6 +742,11 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
     def chunk_body(c, carry):
         cbox = box6(chunk_base + 6 * c)
 
+        if os.environ.get("MADARCH_LADDER_ONLY", "") == "1":
+            # diagnostic: price the cond ladder + bound folds alone
+            # (results are garbage — perf probes only)
+            return fold_bound(box_lb(*cbox), carry)
+
         def eval_chunk(cr):
             if e.kind == "s":
                 for i in range(e.chunk):
@@ -597,6 +761,18 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 
         return jax.lax.cond(gap2(*cbox) < m2, eval_chunk, skip_chunk,
                             carry)
+
+    if cand is not None and e.sph_idx in cand:
+        cand_ref, n_cand = cand[e.sph_idx]
+        out = jax.lax.fori_loop(
+            0, n_cand,
+            lambda i, cr: chunk_body(cand_ref[i], cr),
+            init_carry(max_dist))
+        far_blend = jnp.minimum(lbg, max_dist)
+        if info:
+            best, idx, mid = out
+            return jnp.where(lbg < margin, best, far_blend), idx, mid
+        return jnp.where(lbg < margin, out, far_blend)
 
     def near():
         if e.n_supers == 0:
@@ -646,13 +822,14 @@ def _chunk_tile(plan, margin, px, py, pz, act):
     return _tile_bounds(px, py, pz, act)
 
 
-def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None, act=None):
+def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None, act=None,
+                cand=None):
     tile = _chunk_tile(plan, margin, px, py, pz, act)
     closest = jnp.full(px.shape, max_dist, jnp.float32)
     for e in plan.entries:
         closest = jnp.minimum(closest, _entry_min(
             plan, e, refs, px, py, pz, max_dist, margin, info=False,
-            tile=tile))
+            tile=tile, cand=cand))
     return closest
 
 
@@ -685,9 +862,16 @@ def _scene_dist_info(plan, refs, px, py, pz, max_dist, margin=None,
 # ---------------------------------------------------------------------------
 
 def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega,
-                   unroll=UNROLL):
+                   unroll=UNROLL, cap=None):
     """Over-relaxed sphere trace; returns final t (raymarching.glsl:25-37
-    with the Keinert backtrack — exact, see render/raymarch.py)."""
+    with the Keinert backtrack — exact, see render/raymarch.py).
+
+    ``cap``: optional per-lane global-box exit (_ray_box_cap).  A lane
+    beyond the cap is retired only once its position passes the Keinert
+    fail check (``~fail``): a valid position ≥ cap means nothing was
+    skipped on the way and nothing exists beyond — retiring on the raw
+    ``t >= cap`` test would kill over-relaxed lanes mid-overshoot before
+    their backtrack and lose real hits (the obj_mesh zero-hit bug)."""
     ox, oy, oz = o
     dx, dy, dz = d
     shape = ox.shape
@@ -707,6 +891,9 @@ def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega,
                 + (1.0 - fail) * (dist * om)
             om = jnp.where(fail > 0.5, 1.0, om)
             still = active * (1.0 - hit)
+            if cap is not None:
+                done = (1.0 - fail) * jnp.where(t >= cap, 1.0, 0.0)
+                still = still * (1.0 - done)
             still = still * jnp.where(step + j < max_steps, 1.0, 0.0)
             t = t + new_step * still
             prev_r = jnp.where(still > 0.5, jnp.abs(dist), prev_r)
@@ -723,9 +910,11 @@ def _march_primary(scene, o, d, en, max_dist, eps, max_steps, omega,
 
 
 def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega,
-                      unroll=UNROLL):
+                      unroll=UNROLL, cap=None):
     """1 if the ray reaches its per-ray max unobstructed, else 0
-    (raymarching.glsl:53-56)."""
+    (raymarching.glsl:53-56).  ``cap``: optional per-lane global-box exit;
+    lanes beyond it retire only at a fail-checked position (see
+    _march_primary) so pending backtracks still run."""
     ox, oy, oz = o
     dx, dy, dz = d
     shape = ox.shape
@@ -747,6 +936,9 @@ def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega,
                 + (1.0 - fail) * (dist * om)
             om = jnp.where(fail > 0.5, 1.0, om)
             still = active * (1.0 - hit) * in_step
+            if cap is not None:
+                done = (1.0 - fail) * jnp.where(t >= cap, 1.0, 0.0)
+                still = still * (1.0 - done)
             t = t + new_step * still
             prev_r = jnp.where(still > 0.5, jnp.abs(dist), prev_r)
             step_len = jnp.where(still > 0.5, new_step, step_len)
@@ -755,12 +947,17 @@ def _march_visibility(scene, o, d, mx, en, eps, max_steps, omega,
 
     t0 = jnp.zeros(shape, jnp.float32)
     active0 = en * jnp.where(t0 < mx, 1.0, 0.0)
-    _, _, _, blocked, _, _, _ = jax.lax.while_loop(
+    steps, _, _, blocked, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, active0,
                      jnp.zeros(shape, jnp.float32),
                      jnp.zeros(shape, jnp.float32),
                      jnp.zeros(shape, jnp.float32),
                      jnp.full(shape, omega, jnp.float32)))
+    if os.environ.get("MADARCH_VIS_STEPS", "") == "1":
+        # diagnostic: per-tile while-loop trip count instead of
+        # visibility (tiles pay the max over their lanes — this is the
+        # number that prices the march)
+        return jnp.full(shape, steps.astype(jnp.float32))
     return 1.0 - blocked
 
 
@@ -812,51 +1009,82 @@ def _march_shadow(scene, o, d, mn, mx, en, eps, max_steps, k,
 # same layout).  Outputs are f32 (hit masks as 0/1).
 # ---------------------------------------------------------------------------
 
+def _split_scratch(plan, rest):
+    """Peel the per-bounded-entry candidate scratch refs off the end of
+    the kernel args (pallas passes scratch after outputs), keyed by
+    sph_idx as _make_march_scene expects."""
+    n_scr = sum(1 for e in plan.entries if e.sph_idx >= 0)
+    if not n_scr or not SEG_CAND:
+        return rest, {}
+    scratch = {e.sph_idx: r for e, r in
+               zip([e for e in plan.entries if e.sph_idx >= 0],
+                   rest[len(rest) - n_scr:])}
+    return rest[:len(rest) - n_scr], scratch
+
+
 def _raycast_kernel(plan, max_dist, eps, max_steps, omega, *args):
     refs, rest = SceneRefs.split(plan, args)
+    rest, scratch = _split_scratch(plan, rest)
     ox, oy, oz, dx, dy, dz, en, t_out, hit_out = rest
     margin = plan.margin
-
-    def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act)
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     active0 = en[:]
-    t = _march_primary(scene, o, d, active0, max_dist, eps, max_steps,
-                       omega)
+    scene = _make_march_scene(plan, refs, scratch, o, d,
+                              jnp.float32(max_dist), active0, max_dist,
+                              margin)
+    cap = _ray_box_cap(plan, refs, o, d, margin)
+    eff = max_dist if cap is None else jnp.minimum(max_dist, cap)
+    en_m = active0 if cap is None \
+        else active0 * jnp.where(eff > 0.0, 1.0, 0.0)
+    t = _march_primary(scene, o, d, en_m, max_dist, eps, max_steps,
+                       omega, cap=cap)
+    if cap is not None:
+        # exit-capped lanes are guaranteed misses: snap t to the miss
+        # convention (t = max_dist) the un-capped march converges to
+        t = jnp.where(jnp.logical_and(t >= eff, eff < max_dist),
+                      max_dist, t)
     d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2], None)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0)
+    if os.environ.get("MADARCH_DEBUG_CAP", "") == "1" and cap is not None:
+        t_out[:] = cap
+        hit_out[:] = en_m
+        return
     t_out[:] = t
     hit_out[:] = hit * active0
 
 
 def _visibility_kernel(plan, max_dist, eps, max_steps, omega, *args):
     refs, rest = SceneRefs.split(plan, args)
+    rest, scratch = _split_scratch(plan, rest)
     ox, oy, oz, dx, dy, dz, mx, en, vis_out = rest
     margin = plan.margin
 
-    def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act)
-
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    scene = _make_march_scene(plan, refs, scratch, o, d, mx[:], en[:],
+                              max_dist, margin)
+    cap = _ray_box_cap(plan, refs, o, d, margin)
+    en_m = en[:] if cap is None \
+        else en[:] * jnp.where(cap > 0.0, 1.0, 0.0)
     vis_out[:] = _march_visibility(
-        scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mx[:], en[:],
-        eps, max_steps, omega)
+        scene, o, d, mx[:], en_m, eps, max_steps, omega, cap=cap)
 
 
 def _softshadow_kernel(plan, max_dist, eps, max_steps, k, margin, *args):
     refs, rest = SceneRefs.split(plan, args)
+    rest, scratch = _split_scratch(plan, rest)
     ox, oy, oz, dx, dy, dz, mn, mx, en, res_out = rest
 
-    def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act)
-
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    scene = _make_march_scene(plan, refs, scratch, o, d, mx[:], en[:],
+                              max_dist, margin)
+    cap = _ray_box_cap(plan, refs, o, d, margin)
+    mx_eff = mx[:] if cap is None else jnp.minimum(mx[:], cap)
     res_out[:] = _march_shadow(
-        scene, (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]), mn[:], mx[:],
-        en[:], eps, max_steps, k)
+        scene, o, d, mn[:], mx_eff, en[:], eps, max_steps, k)
 
 
 def _stack(rows):
@@ -872,25 +1100,24 @@ def _geometry_kernel(plan, cfg, *args):
      ao_steps, ao_step, spx, spy, spz, dimx, dimy, dimz,
      want_ao, want_shadows, want_vis) = cfg
     refs, rest = SceneRefs.split(plan, args)
+    rest, scratch = _split_scratch(plan, rest)
     (lpos_ref, ox, oy, oz, dx, dy, dz, en,
      t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
      sh_out, vis_out) = rest
     margin = plan.margin
-    # the far-field short-circuit underestimates penumbras for small k
-    # (matches the pallas_softshadows gate; ADVICE r3)
-    shadow_margin = margin if shadow_k >= 32.0 else None
+    # penumbra marches keep a floor on the skip margin (SHADOW_MARGIN_MIN)
+    # and stay exact for small k (ADVICE r3 / pallas_softshadows gate)
+    shadow_margin = max(margin, SHADOW_MARGIN_MIN) \
+        if margin is not None and shadow_k >= 32.0 else None
     # AO reads scene *values* at offsets ≤ ao_steps·ao_step from the hit
-    # point; culling is exact there only while that stays under margin
+    # point; culling is exact there only while that stays under margin —
+    # decoupled from the (tunable) march margin via AO_MARGIN
     ao_reach = ao_steps * ao_step + NORMAL_H * 2.0
-    ao_margin = margin if margin is not None and ao_reach < margin else None
-
-    def scene(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act)
-
-    def scene_shadow(px, py, pz, act):
-        return _scene_dist(plan, refs, px, py, pz, max_dist,
-                           margin=shadow_margin, act=act)
+    ao_margin = None
+    if margin is not None:
+        ao_margin = max(margin, AO_MARGIN)
+        if ao_reach >= ao_margin:
+            ao_margin = None
 
     def scene_at_hits(px, py, pz, act, margin_=None):
         """Scene distance at points within ao_reach of active hit points:
@@ -904,8 +1131,19 @@ def _geometry_kernel(plan, cfg, *args):
     en0 = en[:]
     R = en0.shape[0]
 
-    # 1. primary sphere trace
-    t = _march_primary(scene, o, d, en0, max_dist, eps, max_steps, omega)
+    # 1. primary sphere trace (segment candidates built once per march;
+    # budget clamped to the per-lane global-box exit for bounded scenes)
+    scene = _make_march_scene(plan, refs, scratch, o, d,
+                              jnp.float32(max_dist), en0, max_dist, margin)
+    cap_p = _ray_box_cap(plan, refs, o, d, margin)
+    eff_p = max_dist if cap_p is None else jnp.minimum(max_dist, cap_p)
+    en_m = en0 if cap_p is None \
+        else en0 * jnp.where(eff_p > 0.0, 1.0, 0.0)
+    t = _march_primary(scene, o, d, en_m, max_dist, eps, max_steps, omega,
+                       cap=cap_p)
+    if cap_p is not None:
+        t = jnp.where(jnp.logical_and(t >= eff_p, eff_p < max_dist),
+                      max_dist, t)
     px = o[0] + t * d[0]
     py = o[1] + t * d[1]
     pz = o[2] + t * d[2]
@@ -991,13 +1229,21 @@ def _geometry_kernel(plan, cfg, *args):
         # stacked tiles amortize the loop-condition check over k×R rows
         # already; small plans still win from unroll=3 (round-2's GI
         # configuration), big plans cap at 2 to bound compiled scene bodies
+        sh_o = (_stack([sox] * n_lights), _stack([soy] * n_lights),
+                _stack([soz] * n_lights))
+        sh_d = (_stack(sdx), _stack(sdy), _stack(sdz))
+        sh_mx = _stack(smx)
+        sh_en = _stack(sen)
+        scene_shadow = _make_march_scene(plan, refs, scratch, sh_o, sh_d,
+                                         sh_mx, sh_en, max_dist,
+                                         shadow_margin)
+        cap_sh = _ray_box_cap(plan, refs, sh_o, sh_d, shadow_margin)
+        if cap_sh is not None:
+            sh_mx = jnp.minimum(sh_mx, cap_sh)
         sh = _march_shadow(
-            scene_shadow,
-            (_stack([sox] * n_lights), _stack([soy] * n_lights),
-                    _stack([soz] * n_lights)),
-            (_stack(sdx), _stack(sdy), _stack(sdz)),
-            jnp.zeros((n_lights * R, LANES), jnp.float32), _stack(smx),
-            _stack(sen), eps, max_steps, shadow_k,
+            scene_shadow, sh_o, sh_d,
+            jnp.zeros((n_lights * R, LANES), jnp.float32), sh_mx,
+            sh_en, eps, max_steps, shadow_k,
             unroll=UNROLL if plan.small else 2)
         for li in range(n_lights):
             sh_out[li] = sh[li * R:(li + 1) * R]
@@ -1034,10 +1280,19 @@ def _geometry_kernel(plan, cfg, *args):
             pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
                                 1e-6)
             inv = 1.0 / pdist
+            v_o = (sox, soy, soz)
+            v_d = (wx * inv, wy * inv, wz * inv)
+            v_mx = pdist - surf_off
+            # per-corner candidate corridors: the surface→probe segments
+            # of one corner are tight, so each march re-culls
+            scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
+                                        v_mx, hit, max_dist, margin)
+            cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
+            v_en = hit if cap_v is None \
+                else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
             vis_out[k] = _march_visibility(
-                scene, (sox, soy, soz), (wx * inv, wy * inv, wz * inv),
-                pdist - surf_off, hit, eps, max_steps, omega,
-                unroll=VIS_DESTACK_UNROLL)
+                scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
+                unroll=VIS_DESTACK_UNROLL, cap=cap_v)
     elif want_vis:
         cellx = jnp.floor(px / spx)
         celly = jnp.floor(py / spy)
@@ -1060,11 +1315,18 @@ def _geometry_kernel(plan, cfg, *args):
             vdy.append(wy * inv)
             vdz.append(wz * inv)
             vmx.append(pdist - surf_off)
+        v_o = (_stack([sox] * 8), _stack([soy] * 8), _stack([soz] * 8))
+        v_d = (_stack(vdx), _stack(vdy), _stack(vdz))
+        v_mx = _stack(vmx)
+        v_en = _stack([hit] * 8)
+        scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d, v_mx,
+                                    v_en, max_dist, margin)
+        cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
+        if cap_v is not None:
+            v_en = v_en * jnp.where(cap_v > 0.0, 1.0, 0.0)
         vis = _march_visibility(
-            scene, (_stack([sox] * 8), _stack([soy] * 8),
-                    _stack([soz] * 8)),
-            (_stack(vdx), _stack(vdy), _stack(vdz)), _stack(vmx),
-            _stack([hit] * 8), eps, max_steps, omega, unroll=UNROLL)
+            scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
+            unroll=UNROLL, cap=cap_v)
         for k in range(8):
             vis_out[k] = vis[k * R:(k + 1) * R]
     else:
@@ -1129,6 +1391,25 @@ def _scene_args(packed):
         + tuple(packed.spheres)
 
 
+def _cand_scratch(plan):
+    """SMEM scratch for the per-march segment-candidate lists: one
+    i32[n_chunks] per bounded entry (reused across the marches of one
+    kernel invocation — they run sequentially)."""
+    if not SEG_CAND:
+        return []
+    return [pltpu.SMEM((max(e.n_chunks, 1),), jnp.int32)
+            for e in plan.entries if e.sph_idx >= 0]
+
+
+def _check_eps(plan, eps):
+    """Culled hit classification relies on eps < margin (skipped-chunk
+    bounds are ≥ margin and must never read as hits; ADVICE r4)."""
+    if plan.margin is not None and not eps < plan.margin:
+        raise ValueError(
+            f"march eps {eps} must be < culling margin {plan.margin}; "
+            "set MADARCH_MARGIN higher or pass a smaller eps")
+
+
 def _common(n):
     n_pad, rows = _ray_layout(n)
     grid = (rows // TILE_ROWS,)
@@ -1149,6 +1430,7 @@ def pallas_raycast(plan, packed, origins, dirs, max_dist, *,
           else enabled.astype(jnp.float32))
     en = _to_rows(en, n_pad, 0.0)
 
+    _check_eps(plan, eps)
     kern = partial(_raycast_kernel, plan, float(max_dist), float(eps),
                    int(max_steps), float(omega))
     t, hit = pl.pallas_call(
@@ -1158,6 +1440,7 @@ def pallas_raycast(plan, packed, origins, dirs, max_dist, *,
         out_specs=(_tile_spec(), _tile_spec()),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
+        scratch_shapes=_cand_scratch(plan),
         interpret=_interpret(),
     )(*_scene_args(packed), *o, *d, en)
     t = t.reshape(-1)[:n]
@@ -1178,6 +1461,7 @@ def pallas_visibility(plan, packed, origins, dirs, max_dists, *,
           else enabled.astype(jnp.float32))
     en = _to_rows(en, n_pad, 0.0)
 
+    _check_eps(plan, eps)
     kern = partial(_visibility_kernel, plan, 1e4, float(eps),
                    int(max_steps), float(omega))
     vis = pl.pallas_call(
@@ -1186,6 +1470,7 @@ def pallas_visibility(plan, packed, origins, dirs, max_dists, *,
         in_specs=_scene_specs(plan) + [_tile_spec()] * 8,
         out_specs=_tile_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=_cand_scratch(plan),
         interpret=_interpret(),
     )(*_scene_args(packed), *o, *d, mx, en)
     return vis.reshape(-1)[:n]
@@ -1207,8 +1492,9 @@ def pallas_softshadows(plan, packed, origins, dirs, min_dists,
     en = _to_rows(en, n_pad, 0.0)
 
     # the far-field short-circuit underestimates penumbras for small k
-    # (see FAR_MARGIN); stay exact unless k·margin comfortably clears 1
-    margin = FAR_MARGIN if k >= 32.0 else None
+    # (see FAR_MARGIN); stay exact unless k·margin comfortably clears 1,
+    # and keep the skip margin at the penumbra floor (SHADOW_MARGIN_MIN)
+    margin = max(FAR_MARGIN, SHADOW_MARGIN_MIN) if k >= 32.0 else None
     kern = partial(_softshadow_kernel, plan, 1e4, float(eps),
                    int(max_steps), float(k), margin)
     res = pl.pallas_call(
@@ -1217,6 +1503,7 @@ def pallas_softshadows(plan, packed, origins, dirs, min_dists,
         in_specs=_scene_specs(plan) + [_tile_spec()] * 9,
         out_specs=_tile_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=_cand_scratch(plan),
         interpret=_interpret(),
     )(*_scene_args(packed), *o, *d, mn, mx, en)
     return res.reshape(-1)[:n]
@@ -1242,6 +1529,7 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
           else enabled.astype(jnp.float32))
     en = _to_rows(en, n_pad, 0.0)
 
+    _check_eps(plan, eps)
     l_pad = max(n_lights, 1)
     cfg = (float(max_dist), float(eps), int(max_steps), float(omega),
            int(n_lights), float(shadow_k), float(surface_offset),
@@ -1274,6 +1562,7 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
         in_specs=_scene_specs(plan) + [_smem_spec()] + [_tile_spec()] * 7,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=_cand_scratch(plan),
         interpret=_interpret(),
     )(*_scene_args(packed), lpos_vec, *o, *d, en)
 

@@ -469,3 +469,97 @@ def test_dynamic_count_rolled_parity():
     t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
     np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_ref))
     np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# All-bounded plans: the global-box exit clamp (_ray_box_cap).
+# ---------------------------------------------------------------------------
+
+def build_bounded_scene(n_tris=80):
+    """Triangles ONLY (no plane): every entry bounded, so marches clamp
+    their budget to the per-lane global-AABB exit."""
+    spec = SceneSpec(prims=((P.Triangle, n_tris),),
+                     lights=((L.PointLight, 1),), max_dist=20.0)
+    spec = spec.specialized({"triangle": n_tris}, {"point_light": 1})
+    b = SceneBuilder(spec)
+    b.add_material((0.5, 0.5, 0.5), 0.0, 0.5)
+    rng = np.random.RandomState(5)
+    for i in range(n_tris):
+        c = rng.uniform(-1.5, 1.5, 3) + np.array([0.0, 1.0, 5.0])
+        v = c + rng.uniform(-0.5, 0.5, (3, 3))
+        b.add_primitive(P.Triangle, v1=v[0], v2=v[1], v3=v[2],
+                        material_id=0)
+    b.add_light(L.PointLight, position=(0.0, 5.0, 3.0), color=(1.0,) * 3)
+    return spec, b.device_data()
+
+
+@pytest.fixture(scope="module")
+def bounded_scene():
+    spec, data = build_bounded_scene()
+    plan = M.build_plan(spec)
+    assert plan is not None and plan.all_bounded
+    packed = M.pack_params(plan, data)
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    return spec, data, plan, packed, sdf_b
+
+
+def far_rays(n, seed=0):
+    """Rays aimed at the triangle cloud from ~6 units out: the first
+    over-relaxed step (omega * first-eval distance) overshoots the whole
+    global box, so the clamp must NOT retire lanes before their Keinert
+    backtrack (the round-5 obj_mesh zero-hit regression)."""
+    rng = np.random.RandomState(seed)
+    origins = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    origins[:, 2] -= 1.0
+    targets = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32) \
+        + np.array([0.0, 1.0, 5.0], np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return jnp.asarray(origins), jnp.asarray(dirs)
+
+
+def test_bounded_clamp_raycast_parity(bounded_scene):
+    spec, data, plan, packed, sdf_b = bounded_scene
+    origins, dirs = far_rays(128, seed=31)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    hit_ref = np.asarray(hit_ref)
+    hit_k = np.asarray(hit_k)
+    assert hit_ref.sum() > 10, "fixture must actually produce hits"
+    assert (hit_ref == hit_k).mean() >= 0.98
+    both = hit_ref & hit_k
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
+    # guaranteed misses (rays past the box) land at the miss convention
+    miss = ~hit_ref & ~hit_k
+    assert (np.asarray(t_k)[miss] >= 20.0 - 1e-3).all()
+
+
+def test_bounded_clamp_visibility_parity(bounded_scene):
+    spec, data, plan, packed, sdf_b = bounded_scene
+    origins, dirs = far_rays(128, seed=32)
+    max_dists = jnp.full((128,), 15.0, jnp.float32)
+    v_ref = np.asarray(rm.raycast_visibility(sdf_b, origins, dirs,
+                                             max_dists))
+    v_k = np.asarray(M.pallas_visibility(plan, packed, origins, dirs,
+                                         max_dists))
+    assert (v_ref == 0.0).any() and (v_ref == 1.0).any()
+    assert (v_ref == v_k).mean() >= 0.98
+
+
+def test_bounded_clamp_geometry_hits(bounded_scene):
+    """The fused geometry kernel on an all-bounded plan still classifies
+    hits (idx/mid in range, unit normals) with the clamp active."""
+    spec, data, plan, packed, sdf_b = bounded_scene
+    origins, dirs = far_rays(64, seed=33)
+    lpos, n_lights = M.pack_light_positions(spec, data)
+    g = M.pallas_geometry(
+        plan, packed, lpos, n_lights, origins, dirs, 20.0,
+        probe_spacing=(2.0, 3.0, 3.0), probe_dims=(3, 3, 4),
+        surface_offset=0.25, ao_steps=3)
+    hits = np.asarray(g["hit"])
+    assert hits.any()
+    idx = np.asarray(g["idx"])
+    assert (idx[hits] >= 0).all() and (idx[hits] < 80).all()
+    n = np.asarray(g["normal"])[hits]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-3)

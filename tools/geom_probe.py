@@ -55,6 +55,8 @@ def main():
         return dt
 
     timeit("full (ao+shadows+vis)")
+    if os.environ.get("GEOM_ONLY", "") == "1":
+        return
     timeit("no vis", want_vis=False)
     timeit("no vis, no shadows", want_vis=False, want_shadows=False)
     timeit("no vis/shadows/ao", want_vis=False, want_shadows=False,
