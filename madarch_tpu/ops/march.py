@@ -95,7 +95,8 @@ UNROLL_SLOTS_MAX = 8
 # offset — near-unrolled runtime, measured fast on v5e) as long as they
 # fit this many scalars and chunk culling can't pay off; bigger or
 # heavily-bounded types (meshes) take the chunked VMEM layout + culling.
-SMEM_ROLLED_SCALARS_MAX = 512
+SMEM_ROLLED_SCALARS_MAX = int(
+    os.environ.get("MADARCH_SMEM_MAX", "512"))
 SMEM_ROLLED_SLOTS_MAX = 64
 # Partial-unroll cap for the SMEM-rolled slot loop; the per-entry factor
 # balances block count so no block evaluates clamped padding slots
@@ -114,13 +115,17 @@ S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
 # n_supers + SUPER·(admitted supers).
 SUPER = int(os.environ.get("MADARCH_SUPER", "8"))
 SUPER_MIN = 16
-# Unroll of the destacked probe-visibility marches (big plans): 1 wastes
-# no near-convergence evals on expensive scenes (v5e obj_mesh geometry
-# 156 vs 161 ms at unroll 3) and compiles 8 scene bodies instead of 24.
-VIS_DESTACK_UNROLL = int(os.environ.get("MADARCH_VIS_UNROLL", "1"))
-# Skipped supers contribute a scalar tile-gap bound instead of the
-# per-lane point-to-box (weaker bound, ~8× cheaper skip branch).
-SUPER_SKIP_SCALAR = os.environ.get("MADARCH_SUPER_SKIP_SCALAR", "0") == "1"
+# Unroll of the destacked probe-visibility marches (big plans): chunked
+# plans use 1 (no wasted near-convergence evals on expensive scene
+# bodies: v5e obj_mesh geometry 156 vs 161 ms; 8 compiled bodies instead
+# of 24), cheap rolled plans keep 3 (simple_scene 168 -> 149 ms).
+_VIS_UNROLL_ENV = os.environ.get("MADARCH_VIS_UNROLL", "")
+
+
+def _vis_destack_unroll(plan):
+    if _VIS_UNROLL_ENV:
+        return int(_VIS_UNROLL_ENV)
+    return 1 if plan.has_chunks else 3
 # Chunk-culling admit margin for march-loop scene evals: skipped chunks
 # contribute their exact per-lane point-to-AABB lower bound, so hits stay
 # exact for any margin > eps and smaller margins just admit fewer chunks
@@ -742,11 +747,6 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
     def chunk_body(c, carry):
         cbox = box6(chunk_base + 6 * c)
 
-        if os.environ.get("MADARCH_LADDER_ONLY", "") == "1":
-            # diagnostic: price the cond ladder + bound folds alone
-            # (results are garbage — perf probes only)
-            return fold_bound(box_lb(*cbox), carry)
-
         def eval_chunk(cr):
             if e.kind == "s":
                 for i in range(e.chunk):
@@ -788,15 +788,8 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
                     0, SUPER,
                     lambda j, cc: chunk_body(si * SUPER + j, cc), cr)
 
-            if SUPER_SKIP_SCALAR:
-                # tile-gap scalar bound: valid for every lane (gap from
-                # the tile AABB ≤ any lane's distance), 2 vector ops
-                # instead of a 17-op per-lane point-to-box
-                def skip(cr):
-                    return fold_bound(jnp.sqrt(g2) + px * 0.0, cr)
-            else:
-                def skip(cr):
-                    return fold_bound(box_lb(*sbox), cr)
+            def skip(cr):
+                return fold_bound(box_lb(*sbox), cr)
 
             return jax.lax.cond(g2 < m2, admit, skip, carry)
 
@@ -1045,7 +1038,10 @@ def _raycast_kernel(plan, max_dist, eps, max_steps, omega, *args):
         # convention (t = max_dist) the un-capped march converges to
         t = jnp.where(jnp.logical_and(t >= eff, eff < max_dist),
                       max_dist, t)
-    d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2], None)
+    # t == max_dist lanes can never be hits: keep them out of the final
+    # classification's culling tile box (see _geometry_kernel.classify)
+    near = active0 * jnp.where(t < max_dist, 1.0, 0.0)
+    d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2], near)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0)
     if os.environ.get("MADARCH_DEBUG_CAP", "") == "1" and cap is not None:
         t_out[:] = cap
@@ -1095,15 +1091,35 @@ def _geometry_kernel(plan, cfg, *args):
     """The fused march+classify+shade-geometry kernel.  ``cfg`` is the
     static tuple (max_dist, eps, max_steps, omega, n_lights, shadow_k,
     surface_offset, ao_steps, ao_step_size, spacing xyz, dims xyz,
-    want_ao, want_shadows, want_vis)."""
+    want_ao, want_shadows, want_vis, want_refl, refl_shadows, n_mats).
+
+    With ``want_refl`` the specular mode-2 reflection geometry
+    (render_probes.glsl:138-209) folds into the same launch: reflect the
+    view ray at the primary FD normal, march it, classify, FD-normal,
+    penumbra and probe-visibility march the reflection hit — the scene
+    stays VMEM-resident across both bounces (the reference does primary
+    + reflection in ONE fragment invocation).  The per-lane roughness
+    gate (< 0.75, render_probes.glsl:268) reads the material table from
+    SMEM via an unrolled one-hot select.
+
+    Outputs are meaningful only where their enabling mask is set: idx,
+    mid, normal, ao (and every reflection output) are garbage on lanes
+    with hit == 0 — consumers must mask by hit."""
     (max_dist, eps, max_steps, omega, n_lights, shadow_k, surf_off,
      ao_steps, ao_step, spx, spy, spz, dimx, dimy, dimz,
-     want_ao, want_shadows, want_vis) = cfg
+     want_ao, want_shadows, want_vis, want_refl, refl_shadows,
+     n_mats) = cfg
     refs, rest = SceneRefs.split(plan, args)
     rest, scratch = _split_scratch(plan, rest)
-    (lpos_ref, ox, oy, oz, dx, dy, dz, en,
-     t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
-     sh_out, vis_out) = rest
+    if want_refl:
+        (lpos_ref, rough_ref, ox, oy, oz, dx, dy, dz, en,
+         t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
+         sh_out, vis_out, rt_out, rhit_out, rmid_out, rnx_out, rny_out,
+         rnz_out, rsh_out, rvis_out) = rest
+    else:
+        (lpos_ref, ox, oy, oz, dx, dy, dz, en,
+         t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
+         sh_out, vis_out) = rest
     margin = plan.margin
     # penumbra marches keep a floor on the skip margin (SHADOW_MARGIN_MIN)
     # and stay exact for small k (ADVICE r3 / pallas_softshadows gate)
@@ -1131,55 +1147,180 @@ def _geometry_kernel(plan, cfg, *args):
     en0 = en[:]
     R = en0.shape[0]
 
-    # 1. primary sphere trace (segment candidates built once per march;
-    # budget clamped to the per-lane global-box exit for bounded scenes)
-    scene = _make_march_scene(plan, refs, scratch, o, d,
-                              jnp.float32(max_dist), en0, max_dist, margin)
-    cap_p = _ray_box_cap(plan, refs, o, d, margin)
-    eff_p = max_dist if cap_p is None else jnp.minimum(max_dist, cap_p)
-    en_m = en0 if cap_p is None \
-        else en0 * jnp.where(eff_p > 0.0, 1.0, 0.0)
-    t = _march_primary(scene, o, d, en_m, max_dist, eps, max_steps, omega,
-                       cap=cap_p)
-    if cap_p is not None:
-        t = jnp.where(jnp.logical_and(t >= eff_p, eff_p < max_dist),
-                      max_dist, t)
+    # ---- reusable per-bounce blocks -------------------------------------
+
+    def primary_march(oo, dd, en_mask):
+        """Sphere trace + miss-convention snap (budget clamped to the
+        per-lane global-box exit for bounded scenes)."""
+        scn = _make_march_scene(plan, refs, scratch, oo, dd,
+                                jnp.float32(max_dist), en_mask, max_dist,
+                                margin)
+        cap = _ray_box_cap(plan, refs, oo, dd, margin)
+        eff = max_dist if cap is None else jnp.minimum(max_dist, cap)
+        en_m = en_mask if cap is None \
+            else en_mask * jnp.where(eff > 0.0, 1.0, 0.0)
+        t = _march_primary(scn, oo, dd, en_m, max_dist, eps, max_steps,
+                           omega, cap=cap)
+        if cap is not None:
+            t = jnp.where(jnp.logical_and(t >= eff, eff < max_dist),
+                          max_dist, t)
+        return t
+
+    def classify(ppx, ppy, ppz, t, en_mask):
+        """Hit classification: nearest primitive + material (culled: only
+        hit lanes consume idx/mid, and their true distance < eps < margin
+        keeps skipped-chunk bounds out of the min)."""
+        d_end, idx, mid = _scene_dist_info(plan, refs, ppx, ppy, ppz,
+                                           max_dist, margin=margin,
+                                           act=en_mask)
+        hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist),
+                        1.0, 0.0) * en_mask
+        return hit, idx, mid
+
+    def fd_normal(ppx, ppy, ppz, hit):
+        """Tetrahedron-FD normal of the scene SDF: the four offset points
+        stacked on the sublane axis -> ONE scene eval (h=1e-3 ≈ hit eps)."""
+        h = NORMAL_H
+        tet = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
+               (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
+        hit4 = _stack([hit] * 4)
+        f = scene_at_hits(_stack([ppx + s[0] * h for s in tet]),
+                          _stack([ppy + s[1] * h for s in tet]),
+                          _stack([ppz + s[2] * h for s in tet]),
+                          hit4, ao_margin)
+        gx = jnp.zeros_like(ppx)
+        gy = jnp.zeros_like(ppx)
+        gz = jnp.zeros_like(ppx)
+        for k in range(4):
+            fk = f[k * R:(k + 1) * R]
+            gx = gx + tet[k][0] * fk
+            gy = gy + tet[k][1] * fk
+            gz = gz + tet[k][2] * fk
+        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-24)
+        return gx / norm, gy / norm, gz / norm
+
+    def shadow_block(ppx, ppy, ppz, sx, sy, sz, nnx, nny, nnz, hit, out):
+        """Per-light penumbra marches (lighting.glsl:27-36: origin offset,
+        k=64, dir/dist to the light evaluated at the un-offset hit point),
+        all lights stacked -> ONE march; writes the stacked out ref."""
+        sdx, sdy, sdz, smx, sen = [], [], [], [], []
+        for li in range(n_lights):
+            lx = lpos_ref[3 * li + 0, 0]
+            ly = lpos_ref[3 * li + 1, 0]
+            lz = lpos_ref[3 * li + 2, 0]
+            tlx = lx - ppx
+            tly = ly - ppy
+            tlz = lz - ppz
+            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+            inv = 1.0 / jnp.maximum(ldist, 1e-9)
+            ldx = tlx * inv
+            ldy = tly * inv
+            ldz = tlz * inv
+            ndotl = nnx * ldx + nny * ldy + nnz * ldz
+            sdx.append(ldx)
+            sdy.append(ldy)
+            sdz.append(ldz)
+            smx.append(ldist)
+            sen.append(hit * jnp.where(ndotl > EPSILON, 1.0, 0.0))
+        # stacked tiles amortize the loop-condition check over k×R rows
+        # already; small plans still win from unroll=3 (round-2's GI
+        # configuration), big plans cap at 2 to bound compiled scene bodies
+        sh_o = (_stack([sx] * n_lights), _stack([sy] * n_lights),
+                _stack([sz] * n_lights))
+        sh_d = (_stack(sdx), _stack(sdy), _stack(sdz))
+        sh_mx = _stack(smx)
+        sh_en = _stack(sen)
+        scene_shadow = _make_march_scene(plan, refs, scratch, sh_o, sh_d,
+                                         sh_mx, sh_en, max_dist,
+                                         shadow_margin)
+        cap_sh = _ray_box_cap(plan, refs, sh_o, sh_d, shadow_margin)
+        if cap_sh is not None:
+            sh_mx = jnp.minimum(sh_mx, cap_sh)
+        sh = _march_shadow(
+            scene_shadow, sh_o, sh_d,
+            jnp.zeros((n_lights * R, LANES), jnp.float32), sh_mx,
+            sh_en, eps, max_steps, shadow_k,
+            unroll=UNROLL if plan.small else 2)
+        for li in range(n_lights):
+            out[li] = sh[li * R:(li + 1) * R]
+
+    def vis_block(ppx, ppy, ppz, sx, sy, sz, hit, out):
+        """8-corner probe visibility marches (render_probes.glsl:30-45):
+        corners of the probe-grid cell containing the hit point, clamped
+        to the grid; dir/dist from the un-offset hit point.  Stacking the
+        8 marches into one while_loop amortizes loop overhead but runs
+        for the max step count over ALL corners; with an expensive scene
+        eval that tail dominates (v5e: stacked wins 9% at 8 live slots,
+        loses 18% at 40, loses 60% on the 968-triangle mesh) — so big
+        plans destack (unroll=VIS_DESTACK_UNROLL, one compiled body per
+        corner).  MADARCH_VIS_STACK=0/1 overrides for perf A/Bs."""
+        cellx = jnp.floor(ppx / spx)
+        celly = jnp.floor(ppy / spy)
+        cellz = jnp.floor(ppz / spz)
+        _vs = os.environ.get("MADARCH_VIS_STACK", "")
+        destack = _vs != "1" if _vs in ("0", "1") else not plan.small
+
+        def corner(k):
+            cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0,
+                          float(dimx - 1))
+            cy = jnp.clip(celly + float((k >> 1) & 1), 0.0,
+                          float(dimy - 1))
+            cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0,
+                          float(dimz - 1))
+            wx = cx * spx - ppx
+            wy = cy * spy - ppy
+            wz = cz * spz - ppz
+            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
+                                1e-6)
+            inv = 1.0 / pdist
+            return (wx * inv, wy * inv, wz * inv), pdist - surf_off
+
+        if destack:
+            for k in range(8):
+                v_d, v_mx = corner(k)
+                v_o = (sx, sy, sz)
+                # per-corner candidate corridors: the surface→probe
+                # segments of one corner are tight, so each march re-culls
+                scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
+                                            v_mx, hit, max_dist, margin)
+                cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
+                v_en = hit if cap_v is None \
+                    else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
+                out[k] = _march_visibility(
+                    scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
+                    unroll=_vis_destack_unroll(plan), cap=cap_v)
+        else:
+            vdx, vdy, vdz, vmx = [], [], [], []
+            for k in range(8):
+                v_d, v_mx = corner(k)
+                vdx.append(v_d[0])
+                vdy.append(v_d[1])
+                vdz.append(v_d[2])
+                vmx.append(v_mx)
+            v_o = (_stack([sx] * 8), _stack([sy] * 8), _stack([sz] * 8))
+            v_d = (_stack(vdx), _stack(vdy), _stack(vdz))
+            v_mx = _stack(vmx)
+            v_en = _stack([hit] * 8)
+            scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
+                                        v_mx, v_en, max_dist, margin)
+            cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
+            if cap_v is not None:
+                v_en = v_en * jnp.where(cap_v > 0.0, 1.0, 0.0)
+            vis = _march_visibility(
+                scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
+                unroll=UNROLL, cap=cap_v)
+            for k in range(8):
+                out[k] = vis[k * R:(k + 1) * R]
+
+    # ---- 1. primary bounce ----------------------------------------------
+    t = primary_march(o, d, en0)
     px = o[0] + t * d[0]
     py = o[1] + t * d[1]
     pz = o[2] + t * d[2]
+    hit, idx, mid = classify(px, py, pz, t, en0)
+    nx, ny, nz = fd_normal(px, py, pz, hit)
 
-    # 2. hit classification: distance + nearest primitive + material
-    # (culled: only hit lanes consume idx/mid, and their true distance
-    # < eps < margin keeps skipped-chunk bounds out of the min)
-    d_end, idx, mid = _scene_dist_info(plan, refs, px, py, pz, max_dist,
-                                       margin=margin, act=en0)
-    hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0) \
-        * en0
-
-    # 3. tetrahedron-FD normal of the scene SDF: the four offset points
-    # stacked on the sublane axis -> ONE scene eval (h=1e-3 ≈ hit eps)
-    h = NORMAL_H
-    tet = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
-           (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
-    hit4 = _stack([hit] * 4)
-    f = scene_at_hits(_stack([px + s[0] * h for s in tet]),
-                      _stack([py + s[1] * h for s in tet]),
-                      _stack([pz + s[2] * h for s in tet]),
-                      hit4, ao_margin)
-    gx = jnp.zeros_like(px)
-    gy = jnp.zeros_like(px)
-    gz = jnp.zeros_like(px)
-    for k in range(4):
-        fk = f[k * R:(k + 1) * R]
-        gx = gx + tet[k][0] * fk
-        gy = gy + tet[k][1] * fk
-        gz = gz + tet[k][2] * fk
-    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-24)
-    nx = gx / norm
-    ny = gy / norm
-    nz = gz / norm
-
-    # 4. ambient occlusion probes along the normal (lighting.glsl:51-69),
+    # ambient occlusion probes along the normal (lighting.glsl:51-69),
     # all ao_steps offsets in ONE stacked scene eval
     if ao_steps > 0 and want_ao:
         hs = [(i + 1) * ao_step for i in range(ao_steps)]
@@ -1203,132 +1344,14 @@ def _geometry_kernel(plan, cfg, *args):
     soy = py + ny * surf_off
     soz = pz + nz * surf_off
 
-    # 5. per-light penumbra marches (lighting.glsl:27-36: origin offset,
-    # k=64, dir/dist to the light evaluated at the un-offset hit point),
-    # all lights stacked -> ONE march
     if n_lights > 0 and want_shadows:
-        sdx, sdy, sdz, smx, sen = [], [], [], [], []
-        for li in range(n_lights):
-            lx = lpos_ref[3 * li + 0, 0]
-            ly = lpos_ref[3 * li + 1, 0]
-            lz = lpos_ref[3 * li + 2, 0]
-            tlx = lx - px
-            tly = ly - py
-            tlz = lz - pz
-            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-            inv = 1.0 / jnp.maximum(ldist, 1e-9)
-            ldx = tlx * inv
-            ldy = tly * inv
-            ldz = tlz * inv
-            ndotl = nx * ldx + ny * ldy + nz * ldz
-            sdx.append(ldx)
-            sdy.append(ldy)
-            sdz.append(ldz)
-            smx.append(ldist)
-            sen.append(hit * jnp.where(ndotl > EPSILON, 1.0, 0.0))
-        # stacked tiles amortize the loop-condition check over k×R rows
-        # already; small plans still win from unroll=3 (round-2's GI
-        # configuration), big plans cap at 2 to bound compiled scene bodies
-        sh_o = (_stack([sox] * n_lights), _stack([soy] * n_lights),
-                _stack([soz] * n_lights))
-        sh_d = (_stack(sdx), _stack(sdy), _stack(sdz))
-        sh_mx = _stack(smx)
-        sh_en = _stack(sen)
-        scene_shadow = _make_march_scene(plan, refs, scratch, sh_o, sh_d,
-                                         sh_mx, sh_en, max_dist,
-                                         shadow_margin)
-        cap_sh = _ray_box_cap(plan, refs, sh_o, sh_d, shadow_margin)
-        if cap_sh is not None:
-            sh_mx = jnp.minimum(sh_mx, cap_sh)
-        sh = _march_shadow(
-            scene_shadow, sh_o, sh_d,
-            jnp.zeros((n_lights * R, LANES), jnp.float32), sh_mx,
-            sh_en, eps, max_steps, shadow_k,
-            unroll=UNROLL if plan.small else 2)
-        for li in range(n_lights):
-            sh_out[li] = sh[li * R:(li + 1) * R]
+        shadow_block(px, py, pz, sox, soy, soz, nx, ny, nz, hit, sh_out)
     else:
         for li in range(max(n_lights, 1)):
             sh_out[li] = jnp.ones_like(px)
 
-    # 6. 8-corner probe visibility marches (render_probes.glsl:30-45):
-    # corners of the probe-grid cell containing the hit point, clamped to
-    # the grid; dir/dist from the un-offset hit point — ONE stacked march.
-    # Stacking the 8 probe-vis marches into one while_loop amortizes loop
-    # overhead but runs for the max step count over ALL corners; with an
-    # expensive scene eval that tail dominates.  Measured on v5e: stacked
-    # wins 9% at 8 live slots (GI), loses 18% at 40 (simple_scene).
-    # Destacked marches use unroll=2 (≈2 scene bodies per instance, well
-    # under the round-2 cliff); the stacked small-plan path restores
-    # round-2's unroll=3.  MADARCH_VIS_STACK=0/1 overrides for perf A/Bs.
-    _vs = os.environ.get("MADARCH_VIS_STACK", "")
-    destack = _vs != "1" if _vs in ("0", "1") else not plan.small
-    if want_vis and destack:
-        cellx = jnp.floor(px / spx)
-        celly = jnp.floor(py / spy)
-        cellz = jnp.floor(pz / spz)
-        for k in range(8):
-            cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0,
-                          float(dimx - 1))
-            cy = jnp.clip(celly + float((k >> 1) & 1), 0.0,
-                          float(dimy - 1))
-            cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0,
-                          float(dimz - 1))
-            wx = cx * spx - px
-            wy = cy * spy - py
-            wz = cz * spz - pz
-            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
-                                1e-6)
-            inv = 1.0 / pdist
-            v_o = (sox, soy, soz)
-            v_d = (wx * inv, wy * inv, wz * inv)
-            v_mx = pdist - surf_off
-            # per-corner candidate corridors: the surface→probe segments
-            # of one corner are tight, so each march re-culls
-            scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
-                                        v_mx, hit, max_dist, margin)
-            cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
-            v_en = hit if cap_v is None \
-                else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
-            vis_out[k] = _march_visibility(
-                scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
-                unroll=VIS_DESTACK_UNROLL, cap=cap_v)
-    elif want_vis:
-        cellx = jnp.floor(px / spx)
-        celly = jnp.floor(py / spy)
-        cellz = jnp.floor(pz / spz)
-        vdx, vdy, vdz, vmx = [], [], [], []
-        for k in range(8):
-            cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0,
-                          float(dimx - 1))
-            cy = jnp.clip(celly + float((k >> 1) & 1), 0.0,
-                          float(dimy - 1))
-            cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0,
-                          float(dimz - 1))
-            wx = cx * spx - px
-            wy = cy * spy - py
-            wz = cz * spz - pz
-            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
-                                1e-6)
-            inv = 1.0 / pdist
-            vdx.append(wx * inv)
-            vdy.append(wy * inv)
-            vdz.append(wz * inv)
-            vmx.append(pdist - surf_off)
-        v_o = (_stack([sox] * 8), _stack([soy] * 8), _stack([soz] * 8))
-        v_d = (_stack(vdx), _stack(vdy), _stack(vdz))
-        v_mx = _stack(vmx)
-        v_en = _stack([hit] * 8)
-        scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d, v_mx,
-                                    v_en, max_dist, margin)
-        cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
-        if cap_v is not None:
-            v_en = v_en * jnp.where(cap_v > 0.0, 1.0, 0.0)
-        vis = _march_visibility(
-            scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
-            unroll=UNROLL, cap=cap_v)
-        for k in range(8):
-            vis_out[k] = vis[k * R:(k + 1) * R]
+    if want_vis:
+        vis_block(px, py, pz, sox, soy, soz, hit, vis_out)
     else:
         for k in range(8):
             vis_out[k] = jnp.ones_like(px)
@@ -1341,6 +1364,45 @@ def _geometry_kernel(plan, cfg, *args):
     ny_out[:] = ny
     nz_out[:] = nz
     ao_out[:] = ao
+
+    # ---- 2. reflection bounce (specular mode 2) -------------------------
+    if want_refl:
+        # roughness(mid) < 0.75 gate via unrolled one-hot SMEM select
+        # (equals material_lookup's clamped gather for mid < n_mats)
+        midf = mid.astype(jnp.float32)
+        rough = jnp.zeros_like(px)
+        for m in range(n_mats):
+            rough = rough + jnp.where(midf == float(m),
+                                      rough_ref[m, 0], 0.0)
+        r_en = hit * jnp.where(rough < 0.75, 1.0, 0.0)
+        ddn = d[0] * nx + d[1] * ny + d[2] * nz
+        r_d = (d[0] - 2.0 * ddn * nx, d[1] - 2.0 * ddn * ny,
+               d[2] - 2.0 * ddn * nz)
+        r_o = (sox, soy, soz)
+        r_t = primary_march(r_o, r_d, r_en)
+        rpx = r_o[0] + r_t * r_d[0]
+        rpy = r_o[1] + r_t * r_d[1]
+        rpz = r_o[2] + r_t * r_d[2]
+        r_hit, _r_idx, r_mid = classify(rpx, rpy, rpz, r_t, r_en)
+        rnx, rny, rnz = fd_normal(rpx, rpy, rpz, r_hit)
+        rsox = rpx + rnx * surf_off
+        rsoy = rpy + rny * surf_off
+        rsoz = rpz + rnz * surf_off
+
+        if n_lights > 0 and refl_shadows:
+            shadow_block(rpx, rpy, rpz, rsox, rsoy, rsoz, rnx, rny, rnz,
+                         r_hit, rsh_out)
+        else:
+            for li in range(max(n_lights, 1)):
+                rsh_out[li] = jnp.ones_like(px)
+        vis_block(rpx, rpy, rpz, rsox, rsoy, rsoz, r_hit, rvis_out)
+
+        rt_out[:] = r_t
+        rhit_out[:] = r_hit
+        rmid_out[:] = r_mid
+        rnx_out[:] = rnx
+        rny_out[:] = rny
+        rnz_out[:] = rnz
 
 
 # ---------------------------------------------------------------------------
@@ -1514,13 +1576,22 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
                     surface_offset, ao_steps, ao_step_size=0.1,
                     shadow_k=64.0, eps=EPSILON, max_steps=300, enabled=None,
                     omega=1.6, want_ao=True, want_shadows=True,
-                    want_vis=True):
+                    want_vis=True, mat_rough_vec=None, refl_shadows=True):
     """Fused geometry pass: returns a dict with t, hit (bool), idx (i32
     global primitive index, -1 on miss), mid (i32 material id), normal
     f32[N,3], ao f32[N], shadows f32[L,N], vis8 f32[8,N].
 
+    Outputs other than t/hit are only meaningful where hit is true (and
+    shadows/vis8 additionally only where their enabling mask held) —
+    non-hit lanes carry whatever the culled marches left behind.
+
     The ``want_*`` flags statically skip unused marches (reflection-ray
-    calls need no AO; see render/shading.py) — skipped outputs are 1s."""
+    calls need no AO; see render/shading.py) — skipped outputs are 1s.
+
+    ``mat_rough_vec`` (f32[n_mats, 1] material roughness) folds the
+    specular mode-2 reflection bounce into the same launch: the returned
+    dict gains "refl" = {t, hit, mid, normal, shadows, vis8} at the
+    reflection hits (shadows only marched when ``refl_shadows``)."""
     n = origins.shape[0]
     n_pad, rows, grid = _common(n)
     o = [_to_rows(origins[:, i], n_pad, 0.0) for i in range(3)]
@@ -1530,6 +1601,8 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
     en = _to_rows(en, n_pad, 0.0)
 
     _check_eps(plan, eps)
+    want_refl = mat_rough_vec is not None
+    n_mats = int(mat_rough_vec.shape[0]) if want_refl else 0
     l_pad = max(n_lights, 1)
     cfg = (float(max_dist), float(eps), int(max_steps), float(omega),
            int(n_lights), float(shadow_k), float(surface_offset),
@@ -1537,11 +1610,12 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
            float(probe_spacing[0]), float(probe_spacing[1]),
            float(probe_spacing[2]),
            int(probe_dims[0]), int(probe_dims[1]), int(probe_dims[2]),
-           bool(want_ao), bool(want_shadows), bool(want_vis))
+           bool(want_ao), bool(want_shadows), bool(want_vis),
+           bool(want_refl), bool(refl_shadows), n_mats)
     kern = partial(_geometry_kernel, plan, cfg)
 
     f32 = jnp.float32
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((rows, LANES), f32),          # t
         jax.ShapeDtypeStruct((rows, LANES), f32),          # hit
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),    # idx
@@ -1552,24 +1626,58 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
         jax.ShapeDtypeStruct((rows, LANES), f32),          # ao
         jax.ShapeDtypeStruct((l_pad, rows, LANES), f32),   # shadows
         jax.ShapeDtypeStruct((8, rows, LANES), f32),       # vis8
-    )
-    out_specs = tuple([_tile_spec()] * 8
-                      + [_stacked_spec(l_pad), _stacked_spec(8)])
+    ]
+    out_specs = [_tile_spec()] * 8 + [_stacked_spec(l_pad),
+                                      _stacked_spec(8)]
+    in_specs = _scene_specs(plan) + [_smem_spec()]
+    extra_in = ()
+    if want_refl:
+        out_shape += [
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_t
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_hit
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),    # r_mid
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_nx
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_ny
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_nz
+            jax.ShapeDtypeStruct((l_pad, rows, LANES), f32),   # r_shadows
+            jax.ShapeDtypeStruct((8, rows, LANES), f32),       # r_vis8
+        ]
+        out_specs += [_tile_spec()] * 6 + [_stacked_spec(l_pad),
+                                           _stacked_spec(8)]
+        in_specs = in_specs + [_smem_spec()]
+        extra_in = (mat_rough_vec,)
 
-    t, hit, idx, mid, nx, ny, nz, ao, sh, vis = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=_scene_specs(plan) + [_smem_spec()] + [_tile_spec()] * 7,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        in_specs=in_specs + [_tile_spec()] * 7,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=_cand_scratch(plan),
         interpret=_interpret(),
-    )(*_scene_args(packed), lpos_vec, *o, *d, en)
+    )(*_scene_args(packed), lpos_vec, *extra_in, *o, *d, en)
+    t, hit, idx, mid, nx, ny, nz, ao, sh, vis = outs[:10]
 
     def unpad(a):
         return a.reshape(-1)[:n]
 
+    def sh_out(a):
+        return a.reshape(l_pad, -1)[:n_lights, :n] if n_lights > 0 \
+            else jnp.ones((0, n), jnp.float32)
+
     normal = jnp.stack([unpad(nx), unpad(ny), unpad(nz)], axis=-1)
+    refl = None
+    if want_refl:
+        r_t, r_hit, r_mid, rnx, rny, rnz, r_sh, r_vis = outs[10:]
+        refl = {
+            "t": unpad(r_t),
+            "hit": unpad(r_hit) > 0.5,
+            "mid": unpad(r_mid),
+            "normal": jnp.stack([unpad(rnx), unpad(rny), unpad(rnz)],
+                                axis=-1),
+            "shadows": sh_out(r_sh),
+            "vis8": r_vis.reshape(8, -1)[:, :n],
+        }
     return {
         "t": unpad(t),
         "hit": unpad(hit) > 0.5,
@@ -1577,7 +1685,7 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
         "mid": unpad(mid),
         "normal": normal,
         "ao": unpad(ao),
-        "shadows": sh.reshape(l_pad, -1)[:n_lights, :n]
-        if n_lights > 0 else jnp.ones((0, n), jnp.float32),
+        "shadows": sh_out(sh),
         "vis8": vis.reshape(8, -1)[:, :n],
+        "refl": refl,
     }

@@ -36,10 +36,26 @@ from madarch_tpu.render.pipeline import (Camera, FrameState,
 from madarch_tpu.scene.scene import SceneData, SceneSpec
 
 
-def init_distributed():
-    """Guarded ``jax.distributed.initialize`` for multi-host pods: no-ops
-    when the coordinator env (JAX_COORDINATOR_ADDRESS or the TPU pod env)
-    is absent or when already initialized."""
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Guarded ``jax.distributed.initialize`` for multi-host pods.
+
+    With explicit arguments, joins that cluster (the multi-host test
+    drives a 2-process CPU cluster through this — tests/test_multihost.py);
+    with none, autodetects from the coordinator env (JAX_COORDINATOR_ADDRESS
+    or the TPU pod env) and no-ops when absent or already initialized."""
+    if coordinator_address is not None:
+        # must run before ANY backend-touching call (including the
+        # process_count guard below)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:
+            if "already" in str(e):
+                return True
+            raise
+        return True
     if jax.process_count() > 1:
         return True  # already initialized
     has_env = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")

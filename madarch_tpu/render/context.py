@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 from madarch_tpu.ops import march as march_ops
@@ -81,9 +82,14 @@ class SceneCtx:
             self.packed = march_ops.pack_params(self.plan, data_sg)
             self.lpos_vec, self.n_light_slots = \
                 march_ops.pack_light_positions(spec, data_sg)
+            # material roughness as SMEM scalars: the in-kernel
+            # reflection gate of the folded specular mode-2 bounce
+            self.rough_vec = data_sg.materials["roughness"] \
+                .astype(jnp.float32).reshape(-1, 1)
         else:
             self.packed = None
             self.lpos_vec, self.n_light_slots = None, 0
+            self.rough_vec = None
 
     @property
     def use_kernel(self) -> bool:
@@ -97,10 +103,13 @@ class SceneCtx:
         return self.plan is not None and self.lpos_vec is not None
 
     def geometry(self, origins, dirs, probes, cfg, enabled=None,
-                 want_ao=True, want_shadows=True, want_vis=True):
+                 want_ao=True, want_shadows=True, want_vis=True,
+                 want_reflection=False):
         """Run the fused march+classify+shadow+probe-visibility kernel.
         ``want_*`` statically skip marches the caller discards
-        (reflection-ray calls need no AO)."""
+        (reflection-ray calls need no AO).  ``want_reflection`` folds
+        the specular mode-2 bounce into the launch (the result dict's
+        "refl" key; see pallas_geometry)."""
         from madarch_tpu.render.raymarch import SURFACE_OFFSET
         return march_ops.pallas_geometry(
             self.plan, self.packed, self.lpos_vec,
@@ -110,4 +119,6 @@ class SceneCtx:
             surface_offset=SURFACE_OFFSET,
             ao_steps=cfg.ambient_occlusion_steps,
             max_steps=cfg.max_march_steps, enabled=enabled,
-            want_ao=want_ao, want_shadows=want_shadows, want_vis=want_vis)
+            want_ao=want_ao, want_shadows=want_shadows, want_vis=want_vis,
+            mat_rough_vec=self.rough_vec if want_reflection else None,
+            refl_shadows=cfg.add_indirect_specular)

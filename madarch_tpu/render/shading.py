@@ -45,11 +45,20 @@ def make_sdf_b(spec: SceneSpec, data: SceneData, *, stop_grad: bool):
 
 def _fused_ctx(sdf_b, cfg):
     """The SceneCtx when the fused geometry kernel should serve this call
-    (non-differentiable shade + kernel-capable scene), else None."""
+    (kernel-capable scene), else None.
+
+    Differentiable shades use the kernel too: every march output is
+    stop-gradient geometry by construction (the kernel consumes the
+    stop-grad packed scene), and gradients re-enter exactly where the
+    XLA differentiable path put them — the IFT hit reattachment and the
+    autodiff SDF-gradient normal at hit points (render/raymarch.py).
+    AO/shadows/probe-visibility were already computed on stop-grad scene
+    closures there, so serving them from the kernel changes values only
+    within kernel-vs-XLA parity tolerance, not gradient structure."""
     if callable(sdf_b):
         return None
     ctx = sdf_b
-    if cfg.differentiable or not ctx.fused_available:
+    if not ctx.fused_available:
         return None
     return ctx
 
@@ -101,7 +110,8 @@ def shade_hits(spec, data, probe_settings, cfg, sdf_b, sdf_b_diff,
         elif cfg.indirect_specular_mode == 2:
             specular_col = sample_radiance_no_specular(
                 spec, data, probe_settings, cfg, sdf_b, rad_atlas,
-                pos, normal, specular_dir, enabled=spec_enabled)
+                pos, normal, specular_dir, enabled=spec_enabled,
+                refl=geom.get("refl") if geom is not None else None)
         else:
             specular_col = compute_indirect_specular(
                 spec, data, probe_settings, cfg, sdf_b, irr_atlas,
@@ -189,21 +199,43 @@ def _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
 
 
 def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
-                                rad_atlas, pos, normal, spec_dir, *, enabled):
+                                rad_atlas, pos, normal, spec_dir, *, enabled,
+                                refl=None):
     """Indirect specular mode 2 (render_probes.glsl:138-209): reflect-ray
     raycast, best-probe pick by backface+visibility weight, radiance lookup
     at mip 1, plus the direct specular highlight at the reflection point when
-    add_indirect_specular (M_ADD_INDIRECT_SPECULAR) is set."""
+    add_indirect_specular (M_ADD_INDIRECT_SPECULAR) is set.
+
+    ``refl``: optional folded reflection geometry from the fused kernel
+    (pallas_geometry's "refl" dict) — skips the separate reflection
+    launch entirely."""
     n_pts = pos.shape[0]
     settings = probe_settings
     spacing = jnp.asarray(settings.grid_spacing, jnp.float32)
     dims = jnp.asarray(settings.grid_dimensions, jnp.int32)
 
     from_ = pos + normal * SURFACE_OFFSET
-    hit, spec_pos, spec_normal_v, spec_mid, vis, shadows = \
-        _reflection_geometry(spec, data, probe_settings, cfg, sdf_b, from_,
-                             spec_dir, enabled=enabled,
-                             need_shadows=cfg.add_indirect_specular)
+    if refl is not None:
+        hit = refl["hit"]
+        spec_pos = from_ + refl["t"][:, None] * spec_dir
+        spec_mid = refl["mid"]
+        vis = refl["vis8"]
+        shadows = refl["shadows"] if cfg.add_indirect_specular else None
+        if cfg.differentiable:
+            # match the XLA differentiable path: reflection hit position
+            # is stop-grad (raycast there returns stop-grad pos), normal
+            # is the autodiff SDF gradient
+            spec_pos = lax.stop_gradient(spec_pos)
+            sdfd = sdf_b.sdf_b_diff if hasattr(sdf_b, "sdf_b_diff") \
+                else sdf_b
+            spec_normal_v = scene_normal(sdfd, spec_pos)
+        else:
+            spec_normal_v = refl["normal"]
+    else:
+        hit, spec_pos, spec_normal_v, spec_mid, vis, shadows = \
+            _reflection_geometry(spec, data, probe_settings, cfg, sdf_b,
+                                 from_, spec_dir, enabled=enabled,
+                                 need_shadows=cfg.add_indirect_specular)
 
     grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
     offsets = jnp.asarray(
@@ -354,10 +386,25 @@ def pixel_color(spec: SceneSpec, data: SceneData,
 
     geom = None
     if _fused_ctx(ctx, cfg) is not None:
-        geom = ctx.geometry(origins, dirs, probe_settings, cfg)
+        # specular mode 2 folds its reflection bounce into the same
+        # kernel launch (scene resident once — render_probes.glsl does
+        # primary + reflection in ONE fragment invocation)
+        import os
+        fold = cfg.indirect_specular_mode == 2 \
+            and os.environ.get("MADARCH_NO_REFL_FOLD", "") != "1"
+        geom = ctx.geometry(origins, dirs, probe_settings, cfg,
+                            want_reflection=fold)
         t, hit = geom["t"], geom["hit"]
-        pos = origins + t[:, None] * dirs
-        normal = geom["normal"]
+        if cfg.differentiable:
+            # stop-grad march from the kernel; gradients re-enter through
+            # the IFT reattachment + autodiff normal (same structure as
+            # the XLA differentiable path)
+            t = attach_hit_gradient(sdf_b_diff, origins, dirs, t)
+            pos = origins + t[:, None] * dirs
+            normal = scene_normal(sdf_b_diff, pos)
+        else:
+            pos = origins + t[:, None] * dirs
+            normal = geom["normal"]
     else:
         t, hit, _ = raycast(sdf_b, origins, dirs, spec.max_dist,
                             max_steps=cfg.max_march_steps)
