@@ -156,6 +156,15 @@ SHADOW_MARGIN_MIN = float(os.environ.get("MADARCH_SHADOW_MARGIN", "0.15"))
 # so the ladder stays the default and this is kept for corridor-shaped
 # scenes where candidates are few.
 SEG_CAND = os.environ.get("MADARCH_SEG_CAND", "0") == "1"
+# Dense segment-candidate mode: marches evaluate EVERY corridor chunk
+# every step — no per-step admit test, no tile-AABB reduces, no scalar
+# branches.  Measured on v5e obj_mesh: 380 ms vs the ladder's 160 — the
+# per-march corridors (camera frustum / surface→probe prisms) admit
+# 40-90 of 121 chunks, so dense eval volume swamps the saved per-call
+# overhead.  Kept as a measured-off knob: corridor-shaped scenes with
+# few candidates could still win.  Sound for marches by the segment
+# argument above.
+SEG_DENSE = os.environ.get("MADARCH_SEG_DENSE", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -583,7 +592,8 @@ def _make_march_scene(plan, refs, scratch, o, d, mx, en, max_dist, margin):
     super/chunk ladder when candidates are disabled or nothing is
     bounded."""
     bounded = [e for e in plan.entries if e.sph_idx >= 0]
-    if margin is None or not bounded or not SEG_CAND or not scratch:
+    if margin is None or not bounded or not scratch \
+            or not (SEG_CAND or SEG_DENSE):
         def scene_plain(px, py, pz, act):
             return _scene_dist(plan, refs, px, py, pz, max_dist,
                                margin=margin, act=act)
@@ -599,12 +609,12 @@ def _make_march_scene(plan, refs, scratch, o, d, mx, en, max_dist, margin):
 
     def scene(px, py, pz, act):
         return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act, cand=cand)
+                           act=act, cand=cand, dense=SEG_DENSE)
     return scene
 
 
 def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
-               tile=None, cand=None):
+               tile=None, cand=None, dense=False):
     """Min distance of one type over a (R,128) tile.
 
     info=False -> returns d; info=True -> (d, local slot f32, mid f32).
@@ -729,7 +739,8 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
         bz = jnp.maximum(jnp.maximum(loz - pz, pz - hiz), 0.0)
         return jnp.sqrt(bx * bx + by * by + bz * bz)
 
-    tlx, tly, tlz, thx, thy, thz = tile
+    if tile is not None:  # dense candidate mode carries no tile AABB
+        tlx, tly, tlz, thx, thy, thz = tile
 
     def gap2(lox, loy, loz, hix, hiy, hiz):
         """Scalar-core box-to-box gap² (tile AABB vs chunk AABB)."""
@@ -764,10 +775,25 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 
     if cand is not None and e.sph_idx in cand:
         cand_ref, n_cand = cand[e.sph_idx]
-        out = jax.lax.fori_loop(
-            0, n_cand,
-            lambda i, cr: chunk_body(cand_ref[i], cr),
-            init_carry(max_dist))
+        if dense:
+            # branch-free: every corridor chunk evaluates exactly, every
+            # step (see SEG_DENSE)
+            def cand_dense(i, cr):
+                c = cand_ref[i]
+                if e.kind == "s":
+                    for j in range(e.chunk):
+                        cr = slot_fold(c * e.chunk + j, cr)
+                    return cr
+                return jax.lax.fori_loop(
+                    0, e.chunk,
+                    lambda j, cc: slot_fold(c * e.chunk + j, cc), cr)
+            out = jax.lax.fori_loop(0, n_cand, cand_dense,
+                                    init_carry(max_dist))
+        else:
+            out = jax.lax.fori_loop(
+                0, n_cand,
+                lambda i, cr: chunk_body(cand_ref[i], cr),
+                init_carry(max_dist))
         far_blend = jnp.minimum(lbg, max_dist)
         if info:
             best, idx, mid = out
@@ -816,13 +842,15 @@ def _chunk_tile(plan, margin, px, py, pz, act):
 
 
 def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None, act=None,
-                cand=None):
-    tile = _chunk_tile(plan, margin, px, py, pz, act)
+                cand=None, dense=False):
+    # dense candidate mode needs no per-step tile AABB (its 6 reduced
+    # bounds + scalar extractions are most of a march call's overhead)
+    tile = None if dense else _chunk_tile(plan, margin, px, py, pz, act)
     closest = jnp.full(px.shape, max_dist, jnp.float32)
     for e in plan.entries:
         closest = jnp.minimum(closest, _entry_min(
             plan, e, refs, px, py, pz, max_dist, margin, info=False,
-            tile=tile, cand=cand))
+            tile=tile, cand=cand, dense=dense))
     return closest
 
 
@@ -1007,7 +1035,7 @@ def _split_scratch(plan, rest):
     the kernel args (pallas passes scratch after outputs), keyed by
     sph_idx as _make_march_scene expects."""
     n_scr = sum(1 for e in plan.entries if e.sph_idx >= 0)
-    if not n_scr or not SEG_CAND:
+    if not n_scr or not (SEG_CAND or SEG_DENSE):
         return rest, {}
     scratch = {e.sph_idx: r for e, r in
                zip([e for e in plan.entries if e.sph_idx >= 0],
@@ -1108,7 +1136,7 @@ def _geometry_kernel(plan, cfg, *args):
     (max_dist, eps, max_steps, omega, n_lights, shadow_k, surf_off,
      ao_steps, ao_step, spx, spy, spz, dimx, dimy, dimz,
      want_ao, want_shadows, want_vis, want_refl, refl_shadows,
-     n_mats) = cfg
+     n_mats, m_unroll) = cfg
     refs, rest = SceneRefs.split(plan, args)
     rest, scratch = _split_scratch(plan, rest)
     if want_refl:
@@ -1160,7 +1188,7 @@ def _geometry_kernel(plan, cfg, *args):
         en_m = en_mask if cap is None \
             else en_mask * jnp.where(eff > 0.0, 1.0, 0.0)
         t = _march_primary(scn, oo, dd, en_m, max_dist, eps, max_steps,
-                           omega, cap=cap)
+                           omega, unroll=m_unroll, cap=cap)
         if cap is not None:
             t = jnp.where(jnp.logical_and(t >= eff, eff < max_dist),
                           max_dist, t)
@@ -1457,7 +1485,7 @@ def _cand_scratch(plan):
     """SMEM scratch for the per-march segment-candidate lists: one
     i32[n_chunks] per bounded entry (reused across the marches of one
     kernel invocation — they run sequentially)."""
-    if not SEG_CAND:
+    if not (SEG_CAND or SEG_DENSE):
         return []
     return [pltpu.SMEM((max(e.n_chunks, 1),), jnp.int32)
             for e in plan.entries if e.sph_idx >= 0]
@@ -1576,7 +1604,8 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
                     surface_offset, ao_steps, ao_step_size=0.1,
                     shadow_k=64.0, eps=EPSILON, max_steps=300, enabled=None,
                     omega=1.6, want_ao=True, want_shadows=True,
-                    want_vis=True, mat_rough_vec=None, refl_shadows=True):
+                    want_vis=True, mat_rough_vec=None, refl_shadows=True,
+                    march_unroll=None):
     """Fused geometry pass: returns a dict with t, hit (bool), idx (i32
     global primitive index, -1 on miss), mid (i32 material id), normal
     f32[N,3], ao f32[N], shadows f32[L,N], vis8 f32[8,N].
@@ -1611,7 +1640,8 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
            float(probe_spacing[2]),
            int(probe_dims[0]), int(probe_dims[1]), int(probe_dims[2]),
            bool(want_ao), bool(want_shadows), bool(want_vis),
-           bool(want_refl), bool(refl_shadows), n_mats)
+           bool(want_refl), bool(refl_shadows), n_mats,
+           int(march_unroll if march_unroll is not None else UNROLL))
     kern = partial(_geometry_kernel, plan, cfg)
 
     f32 = jnp.float32

@@ -74,8 +74,13 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
     dirs = probes_mod.texel_directions(rr)                   # [rr²,3]
     n_probes = probes.num_probes
 
-    origins = jnp.repeat(p_world, rr * rr, axis=0)           # [P·rr²,3]
-    ray_dirs = jnp.tile(dirs, (n_probes, 1))
+    # direction-major ray order: a Pallas ray tile then holds ONE texel
+    # direction across probes instead of every direction of one probe —
+    # march lengths within a tile are coherent, so tiles exit early
+    # instead of running to the slowest direction (exact: a permutation,
+    # inverted below)
+    origins = jnp.tile(p_world, (rr * rr, 1))                # [rr²·P,3]
+    ray_dirs = jnp.repeat(dirs, n_probes, axis=0)
     n_rays = origins.shape[0]
     if shard is not None and hasattr(shard, "map_rays"):
         color = shard.map_rays(
@@ -89,7 +94,8 @@ def radiance_pass(spec: SceneSpec, data: SceneData, probes: ProbeSettings,
         color, _, _ = pixel_color(spec, data, probes, cfg, irr_atlas,
                                   rad_atlas, origins, ray_dirs)
     color = _unpad(shard, color, n_rays)
-    tiles = color.reshape(n_probes, rr * rr, 3)
+    # invert the direction-major permutation back to probe-major tiles
+    tiles = color.reshape(rr * rr, n_probes, 3).transpose(1, 0, 2)
     px, py = probes.probe_count
     if px * py != n_probes:
         pad = jnp.zeros((px * py - n_probes, rr * rr, 3), jnp.float32)

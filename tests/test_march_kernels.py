@@ -563,3 +563,28 @@ def test_bounded_clamp_geometry_hits(bounded_scene):
     assert (idx[hits] >= 0).all() and (idx[hits] < 80).all()
     n = np.asarray(g["normal"])[hits]
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("knob", ["SEG_CAND", "SEG_DENSE"])
+def test_seg_cand_optin_parity(monkeypatch, knob):
+    """MADARCH_SEG_CAND=1 / MADARCH_SEG_DENSE=1: marches cull through
+    per-march segment candidate lists (SMEM scratch) — with a per-step
+    cond over candidates, or fully dense corridor evals — instead of the
+    per-step super/chunk ladder; results stay ray-for-ray consistent
+    with the XLA path (both measured slower than the ladder on v5e
+    obj_mesh: 200 / 380 ms vs 169 — kept as measured-off knobs)."""
+    monkeypatch.setattr(M, knob, True)
+    spec, data = build_bounded_scene()
+    plan = M.build_plan(spec)
+    packed = M.pack_params(plan, data)
+    sdf_b = jax.vmap(lambda p: scene_sdf(spec, data, p))
+    origins, dirs = far_rays(128, seed=61)
+    t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
+    t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
+    hit_ref = np.asarray(hit_ref)
+    hit_k = np.asarray(hit_k)
+    assert hit_ref.sum() > 10
+    assert (hit_ref == hit_k).mean() >= 0.98
+    both = hit_ref & hit_k
+    np.testing.assert_allclose(np.asarray(t_k)[both],
+                               np.asarray(t_ref)[both], atol=5e-3)
