@@ -1303,20 +1303,48 @@ def _geometry_kernel(plan, cfg, *args):
             inv = 1.0 / pdist
             return (wx * inv, wy * inv, wz * inv), pdist - surf_off
 
-        if destack:
+        def one_corner(kxb, kyb, kzb):
+            """March one cell corner (corner offsets as DATA, so the
+            fori path compiles ONE march body for all 8)."""
+            cx = jnp.clip(cellx + kxb, 0.0, float(dimx - 1))
+            cy = jnp.clip(celly + kyb, 0.0, float(dimy - 1))
+            cz = jnp.clip(cellz + kzb, 0.0, float(dimz - 1))
+            wx = cx * spx - ppx
+            wy = cy * spy - ppy
+            wz = cz * spz - ppz
+            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
+                                1e-6)
+            inv = 1.0 / pdist
+            v_d = (wx * inv, wy * inv, wz * inv)
+            v_mx = pdist - surf_off
+            v_o = (sx, sy, sz)
+            # per-corner candidate corridors: the surface→probe
+            # segments of one corner are tight, so each march re-culls
+            scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
+                                        v_mx, hit, max_dist, margin)
+            cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
+            v_en = hit if cap_v is None \
+                else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
+            return _march_visibility(
+                scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
+                unroll=_vis_destack_unroll(plan), cap=cap_v)
+
+        if destack and os.environ.get("MADARCH_VIS_FORI", "1") == "1":
+            # ONE compiled march body, 8 sequential runs: corner bits
+            # become data and the result stores at a dynamic leading
+            # index — big plans drop from 8 compiled bodies to 1
+            def body(kk, _):
+                kxb = (kk & 1).astype(jnp.float32)
+                kyb = ((kk >> 1) & 1).astype(jnp.float32)
+                kzb = ((kk >> 2) & 1).astype(jnp.float32)
+                out[pl.ds(kk, 1)] = one_corner(kxb, kyb, kzb)[None]
+                return 0
+            jax.lax.fori_loop(0, 8, body, 0)
+        elif destack:
             for k in range(8):
-                v_d, v_mx = corner(k)
-                v_o = (sx, sy, sz)
-                # per-corner candidate corridors: the surface→probe
-                # segments of one corner are tight, so each march re-culls
-                scene_v = _make_march_scene(plan, refs, scratch, v_o, v_d,
-                                            v_mx, hit, max_dist, margin)
-                cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
-                v_en = hit if cap_v is None \
-                    else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
-                out[k] = _march_visibility(
-                    scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
-                    unroll=_vis_destack_unroll(plan), cap=cap_v)
+                out[k] = one_corner(float((k >> 0) & 1),
+                                    float((k >> 1) & 1),
+                                    float((k >> 2) & 1))
         else:
             vdx, vdy, vdz, vmx = [], [], [], []
             for k in range(8):
