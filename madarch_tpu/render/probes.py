@@ -19,12 +19,30 @@ from __future__ import annotations
 from functools import lru_cache
 
 import jax
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
 from madarch_tpu.core.config import ProbeSettings
 from madarch_tpu.core.vecmath import dot, mix, sign_not_zero
 from madarch_tpu.render.raymarch import SURFACE_OFFSET, raycast_visibility
+
+def _atlas_dtype():
+    """MXU atlas contractions run with bf16 inputs + f32 accumulation on
+    TPU: the [N, res²] bilinear-weight operand dominates HBM traffic at
+    screen ray counts (640k × 256 f32 ≈ 650 MB/frame) and
+    radiance/irradiance values are visual data with gates far above
+    bf16's ~0.4% relative error (bench.GOLDEN_GATES; measured on the GI
+    128² golden: zero visible drift).  Measured gain is small (~1% of
+    the screen pass — XLA already fuses the weight construction into the
+    contraction) but free.  CPU keeps f32 so the stored goldens stay
+    exact; MADARCH_ATLAS_F32=1 restores full precision everywhere."""
+    import jax
+    if os.environ.get("MADARCH_ATLAS_F32") == "1" \
+            or jax.default_backend() != "tpu":
+        return jnp.float32
+    return jnp.bfloat16
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +285,9 @@ def sample_all_tiles_bilinear(settings: ProbeSettings, atlas, ray_id,
     wy, wx = bilinear_tile_weight_factors(ray_id, res)  # [N,res] each
     w = (wy[..., :, None] * wx[..., None, :]).reshape(
         ray_id.shape[:-1] + (res * res,))
-    vals = jnp.dot(w, flat, preferred_element_type=jnp.float32)
+    dt = _atlas_dtype()
+    vals = jnp.dot(w.astype(dt), flat.astype(dt),
+                   preferred_element_type=jnp.float32)
     return vals.reshape(ray_id.shape[:-1] + (n_tiles, 3))
 
 
@@ -283,7 +303,8 @@ def probe_one_hot_combine(n_tiles: int, pids, weights, vals):
     for k in range(pids.shape[0]):
         w_all = w_all + jnp.where(probe_ids == pids[k][..., None],
                                   weights[k][..., None], 0.0)
-    return jnp.einsum("np,npc->nc", w_all, vals,
+    dt = _atlas_dtype()
+    return jnp.einsum("np,npc->nc", w_all.astype(dt), vals.astype(dt),
                       preferred_element_type=jnp.float32)
 
 
