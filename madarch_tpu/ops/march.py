@@ -1072,6 +1072,8 @@ def _raycast_kernel(plan, max_dist, eps, max_steps, omega, *args):
     d_end = scene(o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2], near)
     hit = jnp.where(jnp.logical_and(d_end < eps, t < max_dist), 1.0, 0.0)
     if os.environ.get("MADARCH_DEBUG_CAP", "") == "1" and cap is not None:
+        # diagnostic: expose the per-lane box-exit budget and the
+        # pre-march enable mask instead of t/hit (cap-clamp debugging)
         t_out[:] = cap
         hit_out[:] = en_m
         return

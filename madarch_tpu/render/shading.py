@@ -21,6 +21,8 @@ Two execution paths, selected by ``cfg.differentiable``:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -389,7 +391,6 @@ def pixel_color(spec: SceneSpec, data: SceneData,
         # specular mode 2 folds its reflection bounce into the same
         # kernel launch (scene resident once — render_probes.glsl does
         # primary + reflection in ONE fragment invocation)
-        import os
         fold = cfg.indirect_specular_mode == 2 \
             and os.environ.get("MADARCH_NO_REFL_FOLD", "") != "1"
         geom = ctx.geometry(origins, dirs, probe_settings, cfg,
