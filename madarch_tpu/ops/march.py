@@ -1145,7 +1145,8 @@ def _geometry_kernel(plan, cfg, *args):
         (lpos_ref, rough_ref, ox, oy, oz, dx, dy, dz, en,
          t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
          sh_out, vis_out, rt_out, rhit_out, rmid_out, rnx_out, rny_out,
-         rnz_out, rsh_out, rvis_out) = rest
+         rnz_out, rsh_out, rvis_out, rpid_out, rbdx_out, rbdy_out,
+         rbdz_out) = rest
     else:
         (lpos_ref, ox, oy, oz, dx, dy, dz, en,
          t_out, hit_out, idx_out, mid_out, nx_out, ny_out, nz_out, ao_out,
@@ -1274,7 +1275,8 @@ def _geometry_kernel(plan, cfg, *args):
         for li in range(n_lights):
             out[li] = sh[li * R:(li + 1) * R]
 
-    def vis_block(ppx, ppy, ppz, sx, sy, sz, hit, out):
+    def vis_block(ppx, ppy, ppz, sx, sy, sz, hit, out, pick=None,
+                  pick_out=None):
         """8-corner probe visibility marches (render_probes.glsl:30-45):
         corners of the probe-grid cell containing the hit point, clamped
         to the grid; dir/dist from the un-offset hit point.  Stacking the
@@ -1290,24 +1292,7 @@ def _geometry_kernel(plan, cfg, *args):
         _vs = os.environ.get("MADARCH_VIS_STACK", "")
         destack = _vs != "1" if _vs in ("0", "1") else not plan.small
 
-        def corner(k):
-            cx = jnp.clip(cellx + float((k >> 0) & 1), 0.0,
-                          float(dimx - 1))
-            cy = jnp.clip(celly + float((k >> 1) & 1), 0.0,
-                          float(dimy - 1))
-            cz = jnp.clip(cellz + float((k >> 2) & 1), 0.0,
-                          float(dimz - 1))
-            wx = cx * spx - ppx
-            wy = cy * spy - ppy
-            wz = cz * spz - ppz
-            pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
-                                1e-6)
-            inv = 1.0 / pdist
-            return (wx * inv, wy * inv, wz * inv), pdist - surf_off
-
-        def one_corner(kxb, kyb, kzb):
-            """March one cell corner (corner offsets as DATA, so the
-            fori path compiles ONE march body for all 8)."""
+        def corner(kxb, kyb, kzb):
             cx = jnp.clip(cellx + kxb, 0.0, float(dimx - 1))
             cy = jnp.clip(celly + kyb, 0.0, float(dimy - 1))
             cz = jnp.clip(cellz + kzb, 0.0, float(dimz - 1))
@@ -1317,8 +1302,32 @@ def _geometry_kernel(plan, cfg, *args):
             pdist = jnp.maximum(jnp.sqrt(wx * wx + wy * wy + wz * wz),
                                 1e-6)
             inv = 1.0 / pdist
-            v_d = (wx * inv, wy * inv, wz * inv)
-            v_mx = pdist - surf_off
+            # pid = z·gx·gy + y·gx + x (grid_position_to_probe_id)
+            pid = cz * float(dimx * dimy) + cy * float(dimx) + cx
+            return (wx * inv, wy * inv, wz * inv), pdist - surf_off, pid
+
+        def fold_pick(best, v_d, vis, pid):
+            """Mode-2 best-probe pick (render_probes.glsl:166-180):
+            weight = dot(dir-to-probe, normal)·vis, strict-> argmax so
+            the first max wins like jnp.argmax."""
+            nnx, nny, nnz = pick
+            w = (v_d[0] * nnx + v_d[1] * nny + v_d[2] * nnz) * vis
+            bw, bpid, bdx, bdy, bdz = best
+            better = w > bw
+            return (jnp.maximum(bw, w),
+                    jnp.where(better, pid, bpid),
+                    jnp.where(better, -v_d[0], bdx),
+                    jnp.where(better, -v_d[1], bdy),
+                    jnp.where(better, -v_d[2], bdz))
+
+        def pick_init():
+            z = jnp.zeros_like(ppx)
+            return (z - BIG, z, z, z, z)
+
+        def one_corner(kxb, kyb, kzb):
+            """March one cell corner (corner offsets as DATA, so the
+            fori path compiles ONE march body for all 8)."""
+            v_d, v_mx, pid = corner(kxb, kyb, kzb)
             v_o = (sx, sy, sz)
             # per-corner candidate corridors: the surface→probe
             # segments of one corner are tight, so each march re-culls
@@ -1327,34 +1336,46 @@ def _geometry_kernel(plan, cfg, *args):
             cap_v = _ray_box_cap(plan, refs, v_o, v_d, margin)
             v_en = hit if cap_v is None \
                 else hit * jnp.where(cap_v > 0.0, 1.0, 0.0)
-            return _march_visibility(
+            vis = _march_visibility(
                 scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
                 unroll=_vis_destack_unroll(plan), cap=cap_v)
+            return vis, v_d, pid
 
         if destack and os.environ.get("MADARCH_VIS_FORI", "1") == "1":
             # ONE compiled march body, 8 sequential runs: corner bits
             # become data and the result stores at a dynamic leading
             # index — big plans drop from 8 compiled bodies to 1
-            def body(kk, _):
+            def body(kk, best):
                 kxb = (kk & 1).astype(jnp.float32)
                 kyb = ((kk >> 1) & 1).astype(jnp.float32)
                 kzb = ((kk >> 2) & 1).astype(jnp.float32)
-                out[pl.ds(kk, 1)] = one_corner(kxb, kyb, kzb)[None]
-                return 0
-            jax.lax.fori_loop(0, 8, body, 0)
+                vis, v_d, pid = one_corner(kxb, kyb, kzb)
+                out[pl.ds(kk, 1)] = vis[None]
+                if pick is None:
+                    return best
+                return fold_pick(best, v_d, vis, pid)
+            best = jax.lax.fori_loop(
+                0, 8, body, pick_init() if pick is not None else 0)
         elif destack:
+            best = pick_init() if pick is not None else None
             for k in range(8):
-                out[k] = one_corner(float((k >> 0) & 1),
-                                    float((k >> 1) & 1),
-                                    float((k >> 2) & 1))
+                vis, v_d, pid = one_corner(float((k >> 0) & 1),
+                                           float((k >> 1) & 1),
+                                           float((k >> 2) & 1))
+                out[k] = vis
+                if pick is not None:
+                    best = fold_pick(best, v_d, vis, pid)
         else:
-            vdx, vdy, vdz, vmx = [], [], [], []
+            vdx, vdy, vdz, vmx, pids = [], [], [], [], []
             for k in range(8):
-                v_d, v_mx = corner(k)
+                v_d, v_mx, pid = corner(float((k >> 0) & 1),
+                                        float((k >> 1) & 1),
+                                        float((k >> 2) & 1))
                 vdx.append(v_d[0])
                 vdy.append(v_d[1])
                 vdz.append(v_d[2])
                 vmx.append(v_mx)
+                pids.append(pid)
             v_o = (_stack([sx] * 8), _stack([sy] * 8), _stack([sz] * 8))
             v_d = (_stack(vdx), _stack(vdy), _stack(vdz))
             v_mx = _stack(vmx)
@@ -1367,8 +1388,20 @@ def _geometry_kernel(plan, cfg, *args):
             vis = _march_visibility(
                 scene_v, v_o, v_d, v_mx, v_en, eps, max_steps, omega,
                 unroll=UNROLL, cap=cap_v)
+            best = pick_init() if pick is not None else None
             for k in range(8):
-                out[k] = vis[k * R:(k + 1) * R]
+                vis_k = vis[k * R:(k + 1) * R]
+                out[k] = vis_k
+                if pick is not None:
+                    best = fold_pick(
+                        best, (vdx[k], vdy[k], vdz[k]), vis_k, pids[k])
+
+        if pick is not None:
+            _, bpid, bdx, bdy, bdz = best
+            pick_out[0][:] = bpid
+            pick_out[1][:] = bdx
+            pick_out[2][:] = bdy
+            pick_out[3][:] = bdz
 
     # ---- 1. primary bounce ----------------------------------------------
     t = primary_march(o, d, en0)
@@ -1453,7 +1486,12 @@ def _geometry_kernel(plan, cfg, *args):
         else:
             for li in range(max(n_lights, 1)):
                 rsh_out[li] = jnp.ones_like(px)
-        vis_block(rpx, rpy, rpz, rsox, rsoy, rsoz, r_hit, rvis_out)
+        # the 8 corner marches double as the mode-2 best-probe pick
+        # (weight = dot(dir-to-probe, normal)·vis, argmax — the XLA side
+        # then skips its [8,N] weight block and gathers entirely)
+        vis_block(rpx, rpy, rpz, rsox, rsoy, rsoz, r_hit, rvis_out,
+                  pick=(rnx, rny, rnz),
+                  pick_out=(rpid_out, rbdx_out, rbdy_out, rbdz_out))
 
         rt_out[:] = r_t
         rhit_out[:] = r_hit
@@ -1701,9 +1739,14 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
             jax.ShapeDtypeStruct((rows, LANES), f32),          # r_nz
             jax.ShapeDtypeStruct((l_pad, rows, LANES), f32),   # r_shadows
             jax.ShapeDtypeStruct((8, rows, LANES), f32),       # r_vis8
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_best_pid
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_best_dx
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_best_dy
+            jax.ShapeDtypeStruct((rows, LANES), f32),          # r_best_dz
         ]
         out_specs += [_tile_spec()] * 6 + [_stacked_spec(l_pad),
-                                           _stacked_spec(8)]
+                                           _stacked_spec(8)] \
+            + [_tile_spec()] * 4
         in_specs = in_specs + [_smem_spec()]
         extra_in = (mat_rough_vec,)
 
@@ -1728,7 +1771,8 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
     normal = jnp.stack([unpad(nx), unpad(ny), unpad(nz)], axis=-1)
     refl = None
     if want_refl:
-        r_t, r_hit, r_mid, rnx, rny, rnz, r_sh, r_vis = outs[10:]
+        (r_t, r_hit, r_mid, rnx, rny, rnz, r_sh, r_vis,
+         r_pid, r_bdx, r_bdy, r_bdz) = outs[10:]
         refl = {
             "t": unpad(r_t),
             "hit": unpad(r_hit) > 0.5,
@@ -1737,6 +1781,11 @@ def pallas_geometry(plan, packed, lpos_vec, n_lights, origins,
                                 axis=-1),
             "shadows": sh_out(r_sh),
             "vis8": r_vis.reshape(8, -1)[:, :n],
+            # mode-2 best-probe pick done in-kernel: probe id (f32 of an
+            # int) + the probe→hit direction of the winning corner
+            "best_pid": unpad(r_pid),
+            "best_dir": jnp.stack([unpad(r_bdx), unpad(r_bdy),
+                                   unpad(r_bdz)], axis=-1),
         }
     return {
         "t": unpad(t),

@@ -239,25 +239,32 @@ def sample_radiance_no_specular(spec, data, probe_settings, cfg, sdf_b,
                                  from_, spec_dir, enabled=enabled,
                                  need_shadows=cfg.add_indirect_specular)
 
-    grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
-    offsets = jnp.asarray(
-        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
-        jnp.int32)
-    offseted = jnp.clip(grid_pos[None] + offsets[:, None], 0, dims - 1)
-    probe_world = offseted.astype(jnp.float32) * spacing      # [8,N,3]
-    probe_to_spec = spec_pos[None] - probe_world
-    p_dist = jnp.maximum(jnp.linalg.norm(probe_to_spec, axis=-1), 1e-6)
-    probe_to_spec = probe_to_spec / p_dist[..., None]
+    if refl is not None:
+        # best-probe pick done inside the fused kernel (weight + argmax
+        # over the 8 corner marches; in differentiable mode the pick
+        # uses the kernel's FD normal — a discrete, stop-grad selection)
+        pid = refl["best_pid"].astype(jnp.int32)
+        best_dir = refl["best_dir"]
+    else:
+        grid_pos = jnp.floor(spec_pos / spacing).astype(jnp.int32)
+        offsets = jnp.asarray(
+            [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+            jnp.int32)
+        offseted = jnp.clip(grid_pos[None] + offsets[:, None], 0, dims - 1)
+        probe_world = offseted.astype(jnp.float32) * spacing   # [8,N,3]
+        probe_to_spec = spec_pos[None] - probe_world
+        p_dist = jnp.maximum(jnp.linalg.norm(probe_to_spec, axis=-1),
+                             1e-6)
+        probe_to_spec = probe_to_spec / p_dist[..., None]
 
-    weight = dot(probe_to_spec, -spec_normal_v[None])          # [8,N]
-    weight = weight * vis
+        weight = dot(probe_to_spec, -spec_normal_v[None])      # [8,N]
+        weight = weight * vis
 
-    best = jnp.argmax(weight, axis=0)                          # [N]
-    idx = (best, jnp.arange(n_pts))
-    best_offseted = offseted[best, jnp.arange(n_pts)]          # [N,3]
-    best_dir = probe_to_spec[idx]                              # [N,3]
-
-    pid = probes_mod.grid_position_to_probe_id(settings, best_offseted)
+        best = jnp.argmax(weight, axis=0)                      # [N]
+        idx = (best, jnp.arange(n_pts))
+        best_offseted = offseted[best, jnp.arange(n_pts)]      # [N,3]
+        best_dir = probe_to_spec[idx]                          # [N,3]
+        pid = probes_mod.grid_position_to_probe_id(settings, best_offseted)
     rad_ray_id = probes_mod.dir_to_ray_id(best_dir)
     mip1 = probes_mod.radiance_mip1(settings, rad_atlas)
     # best-probe lookup as an all-tiles MXU contraction + one-hot select
