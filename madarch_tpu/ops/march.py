@@ -130,9 +130,10 @@ def _vis_destack_unroll(plan):
 # contribute their exact per-lane point-to-AABB lower bound, so hits stay
 # exact for any margin > eps and smaller margins just admit fewer chunks
 # per step (the near-surface probe-visibility marches dominate mesh
-# frames; v5e sweep on obj_mesh geometry: 0.5 → 328 ms, 0.15 → 198,
-# 0.06 → 167, 0.03 → 159).  Env-tunable for perf A/Bs.
-FAR_MARGIN = float(os.environ.get("MADARCH_MARGIN", "0.06"))
+# frames; v5e sweeps on obj_mesh geometry: 0.5 → 328 ms, 0.15 → 198,
+# 0.06 → 167; post-clamp: 0.06 → 160, 0.03 → 146, 0.015 → 139).
+# The _check_eps guard keeps eps < margin.  Env-tunable for perf A/Bs.
+FAR_MARGIN = float(os.environ.get("MADARCH_MARGIN", "0.015"))
 # AO/FD-normal scene-value reads stay culled at this fixed margin even
 # when the march margin is tuned below ao_reach (~0.3): the culling there
 # needs ao_reach < margin to keep consumed values exact.
