@@ -103,12 +103,19 @@ SMEM_ROLLED_SLOTS_MAX = 64
 # (v5e A/B on simple_scene: 20 → 99.8 M rays/s @ 55 s compile,
 # 8 → 77.1 M, 12 → 65.5 M — unbalanced blocks waste clamped evals).
 S_UNROLL = int(os.environ.get("MADARCH_S_UNROLL", "20"))
-# Chunk granularity for bounding spheres: per-culling-chunk slot counts
-# for the chunked-VMEM and SMEM-rolled layouts (the rolled chunks are
-# smaller — cheap SDFs gain more from skipping than from amortizing).
+# Chunk granularity for bounding boxes: per-culling-chunk slot counts
+# for the chunked-VMEM and SMEM-rolled layouts.  Rolled chunks are tiny
+# (2 slots): their seg-candidate corridors admit per-slot-pair, and with
+# dense candidate evaluation there is no per-step admit cost to amortize
+# (v5e simple_scene geometry: CHUNK_S 8 -> 89 ms, 4 -> 79, 2 -> 71,
+# 1 -> 74).
 CHUNK = int(os.environ.get("MADARCH_CHUNK", "8"))
-CHUNK_S = int(os.environ.get("MADARCH_CHUNK_S", "8"))
-S_CULL = os.environ.get("MADARCH_S_CULL", "0") == "1"
+CHUNK_S = int(os.environ.get("MADARCH_CHUNK_S", "2"))
+# Rolled-type chunk culling (default ON since the dense seg-candidate
+# mode landed: the round-4 15% loss was the per-step ladder's admit
+# conds, which dense corridors don't pay; MADARCH_S_CULL=0 restores the
+# dense-eval layout).
+S_CULL = os.environ.get("MADARCH_S_CULL", "1") == "1"
 # Second culling level: groups of SUPER chunks get their own AABB row and
 # one admit test, used when a type has at least SUPER_MIN chunks — cuts
 # the per-call scalar cond count from n_chunks to
@@ -186,6 +193,14 @@ class PlanEntry:
     chunk: int = 0       # "s"/"c": slots per culling chunk
     n_supers: int = 0    # second culling level (0: single-level)
     derived: bool = False  # "c": params are ptype.derive() constants
+    # March-loop culling shape for this entry: "ladder" per-step
+    # super/chunk conds | "cand" per-call segment candidates, per-step
+    # re-test | "dense" candidates evaluated densely (no per-step test).
+    # Measured per layout on v5e: rolled cheap SDFs win with dense
+    # 2-slot corridors (simple_scene geometry 89 -> 71 ms) while the
+    # chunked mesh layout keeps the ladder (obj_mesh 160 vs 380 ms
+    # dense — see SEG_DENSE).
+    seg: str = "ladder"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,6 +210,12 @@ class ScenePlan:
     entries: tuple
     n_params: int                # SMEM vector length (≥ 1 when packed)
     static_counts: bool = False  # live counts baked in: no slot masking
+    # Far-field short-circuit margin, or None when no entry can use it
+    # (unbounded or unrolled types are always evaluated exactly).
+    # Captured at build time (with the per-entry seg modes) so the knobs
+    # are part of the jit cache key: a knob change can never serve a
+    # stale compile, and same-process A/Bs of knob settings work.
+    margin: object = None
 
     @property
     def total_capacity(self):
@@ -216,14 +237,6 @@ class ScenePlan:
         return not self.has_chunks and unrolled <= 16
 
     @property
-    def margin(self):
-        """Far-field short-circuit margin, or None when no entry can use
-        it (unbounded or unrolled types are always evaluated exactly)."""
-        if any(e.sph_idx >= 0 for e in self.entries):
-            return FAR_MARGIN
-        return None
-
-    @property
     def all_bounded(self):
         """True when every live entry carries a global AABB — then a ray
         beyond the exit of every (margin-inflated) box can hit nothing,
@@ -232,6 +245,14 @@ class ScenePlan:
         scene's spatial extent instead of marching empty space."""
         return bool(self.entries) and all(
             e.sph_idx >= 0 for e in self.entries)
+
+    @property
+    def cand_entries(self):
+        """Bounded entries whose march culling runs through per-call
+        segment-candidate lists (seg "cand"/"dense") rather than the
+        per-step super/chunk ladder."""
+        return tuple(e for e in self.entries
+                     if e.sph_idx >= 0 and e.seg != "ladder")
 
 
 @jax.tree_util.register_dataclass
@@ -298,9 +319,9 @@ def build_plan(spec):
                 scalars=tuple(scalars)))
         elif (n <= SMEM_ROLLED_SLOTS_MAX
               and n * len(names) <= SMEM_ROLLED_SCALARS_MAX):
-            # chunk culling for rolled types is opt-in: measured on v5e
-            # (simple_scene) the admit-test overhead loses ~15% against
-            # just evaluating 20-40 cheap SDFs densely
+            # rolled types default to dense seg-candidate culling: tiny
+            # corridors with zero per-step admit cost (the per-step
+            # ladder loses ~15% on cheap SDFs; see CHUNK_S / seg)
             bounded = S_CULL and getattr(ptype, "bounds", None) is not None \
                 and n > CHUNK_S
             n_chunks = -(-n // CHUNK_S) if bounded else 0
@@ -309,7 +330,8 @@ def build_plan(spec):
                 kind="s", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
                 fields=tuple(names), smem_off=off,
                 sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks,
-                chunk=CHUNK_S))
+                chunk=CHUNK_S, seg=_seg_env("dense") if bounded
+                else "ladder"))
             if bounded:
                 sph_idx += 1
             off += n_pad * len(names)
@@ -325,14 +347,28 @@ def build_plan(spec):
                 kind="c", ptype=ptype, n=n, t_idx=t_idx, goff=goff,
                 fields=tuple(names), arr_idx=arr_idx,
                 sph_idx=sph_idx if bounded else -1, n_chunks=n_chunks,
-                chunk=CHUNK, n_supers=n_supers, derived=derived))
+                chunk=CHUNK, n_supers=n_supers, derived=derived,
+                seg=_seg_env("ladder") if bounded else "ladder"))
             arr_idx += 1
             if bounded:
                 sph_idx += 1
         goff += cap
         t_idx += 1
-    return ScenePlan(entries=tuple(entries), n_params=max(off, 1),
-                     static_counts=spec.live_prims is not None)
+    entries = tuple(entries)
+    return ScenePlan(
+        entries=entries, n_params=max(off, 1),
+        static_counts=spec.live_prims is not None,
+        margin=(FAR_MARGIN if any(e.sph_idx >= 0 for e in entries)
+                else None))
+
+
+def _seg_env(default):
+    """Per-layout seg default, overridable globally by the A/B envs."""
+    if SEG_DENSE:
+        return "dense"
+    if SEG_CAND:
+        return "cand"
+    return default
 
 
 def _sphere_rows(plan, e, params, count):
@@ -592,9 +628,8 @@ def _make_march_scene(plan, refs, scratch, o, d, mx, en, max_dist, margin):
     runs over the candidates alone.  Falls back to the per-step
     super/chunk ladder when candidates are disabled or nothing is
     bounded."""
-    bounded = [e for e in plan.entries if e.sph_idx >= 0]
-    if margin is None or not bounded or not scratch \
-            or not (SEG_CAND or SEG_DENSE):
+    cands = plan.cand_entries
+    if margin is None or not cands or not scratch:
         def scene_plain(px, py, pz, act):
             return _scene_dist(plan, refs, px, py, pz, max_dist,
                                margin=margin, act=act)
@@ -606,16 +641,16 @@ def _make_march_scene(plan, refs, scratch, o, d, mx, en, max_dist, margin):
     cand = {e.sph_idx: (scratch[e.sph_idx],
                         _build_candidates(e, refs, seg, scratch[e.sph_idx],
                                           margin))
-            for e in bounded}
+            for e in cands}
 
     def scene(px, py, pz, act):
         return _scene_dist(plan, refs, px, py, pz, max_dist, margin=margin,
-                           act=act, cand=cand, dense=SEG_DENSE)
+                           act=act, cand=cand)
     return scene
 
 
 def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
-               tile=None, cand=None, dense=False):
+               tile=None, cand=None):
     """Min distance of one type over a (R,128) tile.
 
     info=False -> returns d; info=True -> (d, local slot f32, mid f32).
@@ -776,7 +811,7 @@ def _entry_min(plan, e, refs, px, py, pz, max_dist, margin, info,
 
     if cand is not None and e.sph_idx in cand:
         cand_ref, n_cand = cand[e.sph_idx]
-        if dense:
+        if e.seg == "dense":
             # branch-free: every corridor chunk evaluates exactly, every
             # step (see SEG_DENSE)
             def cand_dense(i, cr):
@@ -843,15 +878,22 @@ def _chunk_tile(plan, margin, px, py, pz, act):
 
 
 def _scene_dist(plan, refs, px, py, pz, max_dist, margin=None, act=None,
-                cand=None, dense=False):
-    # dense candidate mode needs no per-step tile AABB (its 6 reduced
-    # bounds + scalar extractions are most of a march call's overhead)
-    tile = None if dense else _chunk_tile(plan, margin, px, py, pz, act)
+                cand=None):
+    # The per-step tile AABB (6 reduced bounds + scalar extractions —
+    # most of a march call's overhead) is only computed when some entry
+    # will test against it: a ladder entry, or a "cand"-mode candidate
+    # list that re-tests per step.  All-dense plans skip it entirely.
+    cand = cand or {}
+    needs_tile = any(
+        e.sph_idx >= 0 and (e.sph_idx not in cand or e.seg == "cand")
+        for e in plan.entries)
+    tile = _chunk_tile(plan, margin, px, py, pz, act) if needs_tile \
+        else None
     closest = jnp.full(px.shape, max_dist, jnp.float32)
     for e in plan.entries:
         closest = jnp.minimum(closest, _entry_min(
             plan, e, refs, px, py, pz, max_dist, margin, info=False,
-            tile=tile, cand=cand, dense=dense))
+            tile=tile, cand=cand))
     return closest
 
 
@@ -1035,12 +1077,12 @@ def _split_scratch(plan, rest):
     """Peel the per-bounded-entry candidate scratch refs off the end of
     the kernel args (pallas passes scratch after outputs), keyed by
     sph_idx as _make_march_scene expects."""
-    n_scr = sum(1 for e in plan.entries if e.sph_idx >= 0)
-    if not n_scr or not (SEG_CAND or SEG_DENSE):
+    cands = plan.cand_entries
+    if not cands:
         return rest, {}
+    n_scr = len(cands)
     scratch = {e.sph_idx: r for e, r in
-               zip([e for e in plan.entries if e.sph_idx >= 0],
-                   rest[len(rest) - n_scr:])}
+               zip(cands, rest[len(rest) - n_scr:])}
     return rest[:len(rest) - n_scr], scratch
 
 
@@ -1554,10 +1596,8 @@ def _cand_scratch(plan):
     """SMEM scratch for the per-march segment-candidate lists: one
     i32[n_chunks] per bounded entry (reused across the marches of one
     kernel invocation — they run sequentially)."""
-    if not (SEG_CAND or SEG_DENSE):
-        return []
     return [pltpu.SMEM((max(e.n_chunks, 1),), jnp.int32)
-            for e in plan.entries if e.sph_idx >= 0]
+            for e in plan.cand_entries]
 
 
 def _check_eps(plan, eps):

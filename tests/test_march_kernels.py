@@ -441,10 +441,14 @@ def test_smem_rolled_culling_optin_parity(monkeypatch):
                                np.asarray(t_ref)[both], atol=5e-3)
 
 
-def test_dynamic_count_rolled_parity():
+@pytest.mark.parametrize("cull", [True, False])
+def test_dynamic_count_rolled_parity(monkeypatch, cull):
     """Unspecialized spec (dynamic live counts) through the SMEM-rolled
     layout: slot masking by the runtime count must match the XLA path —
-    the ball_game configuration (counts change without recompiling)."""
+    the ball_game configuration (counts change without recompiling).
+    With culling off the match is exact on every lane; with the default
+    dense-corridor culling, hits and hit-lane t stay consistent."""
+    monkeypatch.setattr(M, "S_CULL", cull)
     spec = SceneSpec(prims=((P.Sphere, 20), (P.Plane, 4)),
                      lights=((L.PointLight, 1),), max_dist=20.0)
     b = SceneBuilder(spec)
@@ -468,7 +472,12 @@ def test_dynamic_count_rolled_parity():
     t_ref, hit_ref, _ = rm.raycast(sdf_b, origins, dirs, 20.0)
     t_k, hit_k, _ = M.pallas_raycast(plan, packed, origins, dirs, 20.0)
     np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_ref))
-    np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
+    if cull:
+        both = np.asarray(hit_ref) & np.asarray(hit_k)
+        np.testing.assert_allclose(np.asarray(t_k)[both],
+                                   np.asarray(t_ref)[both], atol=5e-3)
+    else:
+        np.testing.assert_allclose(t_k, t_ref, rtol=1e-5, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
